@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's standard tuning.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: post-shuffle coalescing + skew-join splitting as a safety net
+  (explicit salting in the index build is still required -- AQE cannot
+  split a single hot groupBy key).
+- Arrow on: every per-row kernel is an Arrow-batched pandas UDF.
+- shuffle.partitions defaults to cores locally; on a cluster set it to
+  2-3x total cores (or rely on AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "chavinha-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # On a real cluster an Iceberg catalog is attached here; this repo's
+        # table layer (sources/tables.py) falls back to parquet when absent:
+        #   .config("spark.sql.extensions",
+        #           "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+        #   .config("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
