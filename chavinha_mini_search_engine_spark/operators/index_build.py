@@ -1,0 +1,401 @@
+"""Inverted-index build pipeline (SURVEY.md T1-T7, §3.2).
+
+pages -> docs -> chunks -> unified corpus -> tf/df/length stats ->
+salted posting encode -> multi-way merge -> postings + term_dict +
+corpus_stats + attributes, all checkpointed per stage (and per shard-group
+for the postings stage) through the IndexStore manifest.
+
+Scale design (the part that must survive 10^12 docs):
+
+- **Document-partitioned serve layout** (like Lucene segments / Vespa
+  content nodes): every doc lands in one of ``num_doc_shards`` shards
+  (hash of id) with a dense ``local_id``; posting lists are built per
+  (field, term, shard).  A head term's global posting list is therefore
+  *structurally* split across shards -- no single task ever holds a full
+  web-scale stopword list.
+- **Explicit skew handling inside a shard** (north_rule): within one shard
+  a term whose df exceeds ``cfg.heavy_term_df`` is salted into
+  ``cfg.num_salts`` sub-runs encoded independently (T6), then multi-way
+  merged into final blocks by a second ``applyInPandas`` pass (T7).  AQE
+  cannot split a single hot groupBy key; this can.
+- **All relational steps are DataFrame ops**: tokenize = split/filter
+  (whole-stage codegen), tf = hash aggregate with map-side partial
+  aggregation, df/idf = second hash aggregate, stats = tiny agg.  Python
+  touches only the two kernels (encode, merge) via Arrow.
+- **Shuffles**: (1) unified repartition by shard for local_id assignment,
+  (2) tf groupBy (doc-keyed -- skew-free), (3) df groupBy(term),
+  (4) encode groupBy(field,term,shard,salt) -- skew-bounded by
+  heavy_term_df, (5) merge groupBy(field,term,shard) -- input is already
+  run-compressed, tiny.  Nothing shuffles raw HTML.
+- **Postings layout**: flat block rows partitioned by tbucket =
+  hash(term) % term_buckets -> query-time partition pruning reads only the
+  buckets of the query's terms.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.codec import delta_encode, varbyte_encode
+from ..functions.tokenizer import tokens_col
+from ..sources.tables import IndexStore
+from .chunk import chunk_docs
+from .embed import embed_chunks, embed_docs
+from .extract import extract_docs
+
+UNIFIED_COLS = [
+    "id", "doc_type", "parent_id", "url", "domain", "title", "content",
+    "description", "chunk_content", "parent_doc_type",
+]
+
+RUN_SCHEMA = (
+    "field string, term string, shard int, n long, "
+    "doc_bytes binary, tf_bytes binary, score_bytes binary"
+)
+
+POSTINGS_SCHEMA = (
+    "field string, term string, shard int, block_idx int, first_local long, "
+    "last_local long, n int, max_score double, doc_bytes binary, tf_bytes binary"
+)
+
+
+def tbucket_col(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+# ---------- kernels ----------
+
+def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (field, term, shard, salt) group -> one compressed sorted run."""
+    order = np.argsort(pdf["local_id"].values, kind="stable")
+    ids = pdf["local_id"].values[order].astype(np.uint64)
+    tfs = pdf["tf"].values[order].astype(np.uint64)
+    scores = pdf["score"].values[order].astype(np.float64)
+    return pd.DataFrame(
+        {
+            "field": [pdf["field"].iloc[0]],
+            "term": [pdf["term"].iloc[0]],
+            "shard": [int(pdf["shard"].iloc[0])],
+            "n": [len(ids)],
+            "doc_bytes": [delta_encode(ids)],
+            "tf_bytes": [varbyte_encode(tfs)],
+            "score_bytes": [scores.tobytes()],
+        }
+    )
+
+
+def _make_merge_runs(block_size: int):
+    from ..functions.codec import delta_decode, varbyte_decode
+
+    def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        """(field, term, shard) runs -> final block rows (multi-way merge).
+
+        Runs hold disjoint sorted local_id sets (salt partitions them), so
+        the k-way merge is concat + mergesort -- O(n log k) in effect.
+        """
+        ids_parts, tf_parts, sc_parts = [], [], []
+        for _, r in pdf.iterrows():
+            ids_parts.append(delta_decode(r["doc_bytes"], int(r["n"])))
+            tf_parts.append(varbyte_decode(r["tf_bytes"], int(r["n"])))
+            sc_parts.append(np.frombuffer(r["score_bytes"], dtype=np.float64))
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        scs = np.concatenate(sc_parts)
+        order = np.argsort(ids, kind="mergesort")
+        ids, tfs, scs = ids[order], tfs[order], scs[order]
+
+        field = pdf["field"].iloc[0]
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        rows = {k: [] for k in (
+            "field", "term", "shard", "block_idx", "first_local", "last_local",
+            "n", "max_score", "doc_bytes", "tf_bytes",
+        )}
+        for bi, s in enumerate(range(0, len(ids), block_size)):
+            e = min(s + block_size, len(ids))
+            rows["field"].append(field)
+            rows["term"].append(term)
+            rows["shard"].append(shard)
+            rows["block_idx"].append(bi)
+            rows["first_local"].append(int(ids[s]))
+            rows["last_local"].append(int(ids[e - 1]))
+            rows["n"].append(e - s)
+            rows["max_score"].append(float(scs[s:e].max()))
+            rows["doc_bytes"].append(delta_encode(ids[s:e]))
+            rows["tf_bytes"].append(varbyte_encode(tfs[s:e]))
+        return pd.DataFrame(rows)
+
+    return _merge_runs
+
+
+# ---------- build stages ----------
+
+def unified_corpus(docs: DataFrame, chunks: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Union full docs + chunks; assign (shard, local_id).
+
+    local_id is dense per shard, ordered by id -- deterministic, so
+    rebuilds and resumed builds produce identical layouts.
+    """
+    d = docs.select(
+        "id", "doc_type", F.lit(None).cast("string").alias("parent_id"),
+        "url", "domain", "title", "content", "description",
+        F.lit("").alias("chunk_content"),
+        F.lit(None).cast("string").alias("parent_doc_type"),
+        F.col("content_embedding").alias("embedding"),
+    )
+    c = chunks.select(
+        "id", "doc_type", "parent_id", "url", "domain", "title",
+        F.lit("").alias("content"), F.lit("").alias("description"),
+        "chunk_content", "parent_doc_type",
+        F.col("chunk_embedding").alias("embedding"),
+    )
+    u = d.unionByName(c)
+    u = u.withColumn(
+        "shard", F.pmod(F.xxhash64("id"), F.lit(cfg.num_doc_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("id")
+    return u.withColumn("local_id", (F.row_number().over(w) - 1).cast("long"))
+
+
+def tokenize_tf(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(field, shard, local_id, dl, term, tf) -- all JVM-side."""
+    n = len(cfg.fields)
+    stack_expr = "stack({}, {}) as (field, text)".format(
+        n, ", ".join(f"'{f}', {f}" for f in cfg.fields)
+    )
+    long_df = unified.select("shard", "local_id", F.expr(stack_expr))
+    toks = long_df.select(
+        "shard", "local_id", "field", tokens_col("text").alias("tokens")
+    ).withColumn("dl", F.size("tokens")).filter(F.col("dl") > 0)
+    exploded = toks.select(
+        "field", "shard", "local_id", "dl", F.explode("tokens").alias("term")
+    )
+    return exploded.groupBy("field", "shard", "local_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def corpus_stats(tf: DataFrame) -> DataFrame:
+    """Per-field (n_docs, avgdl) over field-present docs."""
+    per_doc = tf.select("field", "shard", "local_id", "dl").distinct()
+    return per_doc.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def term_dict(tf: DataFrame, stats: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(field, term, df, idf, tbucket).  idf = ln(1 + (N-n+0.5)/(n+0.5))."""
+    df_tbl = tf.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+    j = df_tbl.join(F.broadcast(stats.select("field", "n_docs")), "field")
+    return j.select(
+        "field", "term", "df",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        tbucket_col(F.col("term"), cfg.term_buckets).alias("tbucket"),
+    )
+
+
+def scored_tf(tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Attach the per-posting BM25 contribution (idf * tf_norm), float64.
+
+    This is what per-block max_score upper-bounds.  The idf join is
+    broadcast when the dictionary is small; at web scale it is a shuffled
+    hash join on (field, term) that AQE plans -- both sides are already
+    columnar and pruned to 3 columns.
+    """
+    avg_map = {r["field"]: r["avgdl"] for r in stats.collect()}
+    avgdl = F.coalesce(
+        *[
+            F.when(F.col("field") == f, F.lit(float(v)))
+            for f, v in avg_map.items()
+        ],
+        F.lit(1.0),
+    ) if avg_map else F.lit(1.0)
+    dict_small = tdict.select("field", "term", "idf")
+    j = tf.join(dict_small, ["field", "term"])
+    denom = F.col("tf") + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / avgdl)
+    return j.withColumn("score", F.col("idf") * F.col("tf") / denom)
+
+
+def build_postings_for(
+    stf: DataFrame, tdict: DataFrame, cfg: IndexConfig
+) -> DataFrame:
+    """scored tf -> block rows, with explicit head-term salting (T6+T7)."""
+    heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
+        "field", "term", F.lit(True).alias("_heavy")
+    )
+    stf = stf.join(F.broadcast(heavy), ["field", "term"], "left")
+    stf = stf.withColumn(
+        "salt",
+        F.when(
+            F.col("_heavy").isNotNull(),
+            F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_heavy")
+    runs = stf.groupBy("field", "term", "shard", "salt").applyInPandas(
+        _encode_run, schema=RUN_SCHEMA
+    )
+    blocks = runs.groupBy("field", "term", "shard").applyInPandas(
+        _make_merge_runs(cfg.block_size), schema=POSTINGS_SCHEMA
+    )
+    return blocks.withColumn("tbucket", tbucket_col(F.col("term"), cfg.term_buckets))
+
+
+ATTR_SCHEMA_COLS = [
+    "shard", "local_id", "id", "doc_type", "parent_id", "parent_doc_type",
+    "len_title", "len_content", "len_description", "len_chunk_content",
+    "embedding",
+]
+
+
+def attributes(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Per-doc serve-side attributes: lengths per field + embedding.
+
+    The Vespa-attribute analog (doc.sd `attribute` fields): everything the
+    scorer needs at query time without touching the document store.
+    """
+    u = unified
+    for f in cfg.fields:
+        u = u.withColumn(f"len_{f}", F.size(tokens_col(f)))
+    return u.select(*ATTR_SCHEMA_COLS)
+
+
+# ---------- orchestrator ----------
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: IndexStore,
+    cfg: Optional[IndexConfig] = None,
+    with_embeddings: bool = True,
+    verify_text_invariant: bool = True,
+) -> IndexStore:
+    """Full checkpoint-resumable build.  Re-running after an interruption
+    skips stages (and postings shard-groups) marked done in the manifest.
+    """
+    cfg = cfg or IndexConfig()
+    t_all = time.time()
+
+    # stage: docs
+    if not store.stage_done("docs"):
+        store.begin_stage("docs")
+        t = time.time()
+        docs = extract_docs(pages)
+        if with_embeddings:
+            docs = embed_docs(docs)
+        else:
+            docs = docs.withColumn(
+                "content_embedding", F.lit(None).cast("array<float>")
+            )
+        store.write(docs, "docs")
+        if verify_text_invariant:
+            from .extract import verify_extraction_parity
+            bad = verify_extraction_parity(pages, store.read(spark, "docs"))
+            assert bad == 0, f"{bad} rows violate byte-identical extraction"
+        n = store.read(spark, "docs").count()
+        store.finish_stage("docs", {"rows": n, "wall_sec": time.time() - t,
+                                    "docs_per_sec": n / max(time.time() - t, 1e-9)})
+
+    docs = store.read(spark, "docs")
+
+    # stage: chunks
+    if not store.stage_done("chunks"):
+        store.begin_stage("chunks")
+        t = time.time()
+        ch = chunk_docs(docs)
+        if with_embeddings:
+            ch = embed_chunks(ch)
+        else:
+            ch = ch.withColumn("chunk_embedding", F.lit(None).cast("array<float>"))
+        store.write(ch, "chunks")
+        n = store.read(spark, "chunks").count()
+        store.finish_stage("chunks", {"rows": n, "wall_sec": time.time() - t})
+
+    chunks = store.read(spark, "chunks")
+
+    # stage: unified corpus with (shard, local_id)
+    if not store.stage_done("unified"):
+        store.begin_stage("unified")
+        t = time.time()
+        u = unified_corpus(docs, chunks, cfg)
+        store.write(u, "unified", partition_by=["shard"])
+        store.finish_stage("unified", {"wall_sec": time.time() - t})
+
+    unified = store.read(spark, "unified")
+
+    # stage: tf + stats + dictionary
+    if not store.stage_done("stats"):
+        store.begin_stage("stats")
+        t = time.time()
+        tf = tokenize_tf(unified, cfg)
+        tf = tf.withColumn(
+            "grp", F.pmod(F.col("shard"), F.lit(cfg.shard_groups)).cast("int")
+        )
+        store.write(tf, "tf", partition_by=["grp"])
+        tf = store.read(spark, "tf")
+        stats = corpus_stats(tf)
+        store.write(stats, "corpus_stats")
+        td = term_dict(tf, store.read(spark, "corpus_stats"), cfg)
+        store.write(td, "term_dict", partition_by=["tbucket"])
+        store.finish_stage("stats", {"wall_sec": time.time() - t})
+
+    tf = store.read(spark, "tf")
+    stats = store.read(spark, "corpus_stats")
+    td = store.read(spark, "term_dict")
+
+    # stage: postings, checkpointed per shard-group
+    store.begin_stage("postings")
+    for g in range(cfg.shard_groups):
+        part = f"grp={g}"
+        if store.stage_done("postings", part):
+            continue
+        t = time.time()
+        tf_g = tf.filter(F.col("grp") == g)
+        stf = scored_tf(tf_g, td, stats, cfg)
+        blocks = build_postings_for(stf, td, cfg)
+        store.write(blocks, "postings", part=part, partition_by=["tbucket"])
+        bdf = store.read(spark, "postings", part=part)
+        m = bdf.agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n").alias("postings"),
+            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+        ).collect()[0]
+        wall = time.time() - t
+        store.finish_part("postings", part, {
+            "blocks": int(m["blocks"]), "postings": int(m["postings"] or 0),
+            "bytes_compressed": int(m["bytes"] or 0),
+            "postings_per_sec": (m["postings"] or 0) / max(wall, 1e-9),
+            "wall_sec": wall,
+        })
+        # per-shard lineage rows
+        shard_rows = bdf.groupBy("shard").agg(
+            F.sum("n").alias("postings"),
+            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+        ).collect()
+        store.append_metrics(spark, [
+            (store.build_id, "postings", int(r["shard"]), int(r["postings"]),
+             0.0, float(r["postings"]) / max(wall, 1e-9),
+             0, int(r["bytes"]), wall)
+            for r in shard_rows
+        ])
+    store.finish_stage("postings")
+
+    # stage: attributes
+    if not store.stage_done("attributes"):
+        store.begin_stage("attributes")
+        t = time.time()
+        store.write(attributes(unified, cfg), "attributes", partition_by=["shard"])
+        store.finish_stage("attributes", {"wall_sec": time.time() - t})
+
+    store.manifest["total_wall_sec"] = time.time() - t_all
+    store._write_manifest()
+    return store

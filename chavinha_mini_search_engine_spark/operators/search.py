@@ -1,0 +1,403 @@
+"""Query engine: BM25 / semantic / hybrid top-k (SURVEY.md §3.1, O1, K1-K2,
+D1, J4-J5, P11/P16/P17).
+
+Lifecycle (the Spark rebuild of api/main.py:348-530 + Vespa's retrieval):
+
+1. tokenize query with the normative tokenizer; dedup terms (weakAnd);
+2. look up (idf, df) for the query terms from ``term_dict`` -- a
+   partition-pruned scan (tbucket in (...)) collecting a handful of rows;
+3. scan ``postings`` pruned by (tbucket, term, field) -- Catalyst pushes
+   all three into the parquet scan, so only the query terms' buckets are
+   read;
+4. ``postings.groupBy(shard).cogroup(attributes.groupBy(shard))`` ->
+   ``applyInPandas`` scorer: block-max pruned term-at-a-time scoring with
+   numpy decode, local per-parent dedup, per-shard top-k heap.  This is
+   the document-partitioned scatter: one task per shard = one Vespa
+   content-node search;
+5. global merge: orderBy(score desc, doc_id asc).limit(k)
+   (TakeOrderedAndProject) + window dedup by parent across shards (D1);
+6. enrichment: broadcast the tiny top-k set, semi-join the docs store for
+   title/url/snippet (J5), generate snippets only for returned hits (O7).
+
+Pruning (O1): terms are processed in descending max-contribution order;
+while scoring term t, a block B can be skipped when
+``max(acc[B.range]) + B.max_score * w_t + sum(remaining term maxima) < theta``
+where theta is the current k-th best lower bound.  The bound only uses
+block metadata (first/last/max_score), so skipped blocks are never
+decoded.  Lossless: tests assert pruned == exhaustive rank-for-rank.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    BM25_CHUNK_WEIGHTS,
+    BM25_FULL_WEIGHTS,
+    DEFAULT_LIMIT,
+    HYBRID_BM25_WEIGHT,
+    HYBRID_SEM_WEIGHT,
+    HYBRID_SIGMOID_SCALE,
+    INDEXED_FIELDS,
+    MAX_LIMIT,
+    SNIPPET_FALLBACK_CHARS,
+    IndexConfig,
+)
+from ..functions.codec import delta_decode, varbyte_decode
+from ..functions.tokenizer import tokenize_py
+from ..oracle.embedder import embed_text
+from ..sources.tables import IndexStore
+from .index_build import tbucket_col
+
+SCORE_SCHEMA = (
+    "id string, parent_id string, doc_type string, parent_doc_type string, "
+    "score double"
+)
+
+
+def _query_terms(query: str) -> List[str]:
+    seen, out = set(), []
+    for t in tokenize_py(query):
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+# ---------------- scoring kernels ----------------
+
+def _bm25_shard_kernel(
+    term_payload: Dict[Tuple[str, str], Tuple[float, float]],
+    avgdl: Dict[str, float],
+    k1: float,
+    b: float,
+    k: int,
+    mode: str,
+    query_vec: Optional[np.ndarray],
+    full_only: bool,
+):
+    """Builds the cogroup kernel.  All query state (term -> (field_weight,
+    idf), per-field avgdl, k1/b, query embedding) is captured in the
+    closure, so cloudpickle ships it to the Python workers with the UDF --
+    the Spark-idiomatic "broadcast the query" (SURVEY.md J4).
+
+    Blocks carry (delta docids, varbyte tf); the kernel recomputes
+    score = idf * tf / (tf + k1*(1-b+b*dl/avgdl)) in float64 from tf +
+    attribute lengths so results match the oracle bit-for-bit; the
+    build-time ``max_score`` (same float64 expression) is a valid per-block
+    upper bound for pruning.
+    """
+
+    def kernel(post_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: [] for c in ("id", "parent_id", "doc_type", "parent_doc_type", "score")}
+        )
+        if len(attr_pdf) == 0:
+            return empty
+        order = np.argsort(attr_pdf["local_id"].values)
+        attr = attr_pdf.iloc[order]
+        n_docs = int(attr["local_id"].values[-1]) + 1 if len(attr) else 0
+        ids = attr["id"].values
+        lens = {
+            f: np.asarray(attr[f"len_{f}"].values, dtype=np.float64)
+            for f in INDEXED_FIELDS
+        }
+        is_full = (attr["doc_type"].values == "full_doc")
+
+        acc = np.zeros(n_docs, dtype=np.float64)
+        touched = np.zeros(n_docs, dtype=bool)
+
+        if mode in ("bm25", "hybrid") and len(post_pdf):
+            assert len(attr) == n_docs, "attributes must be dense per shard"
+            # group posting blocks per (field, term)
+            groups: Dict[Tuple[str, str], pd.DataFrame] = {
+                key: g for key, g in post_pdf.groupby(["field", "term"], sort=False)
+            }
+            # per-term-field max contribution for MaxScore ordering/pruning
+            entries = []
+            for (field, term), g in groups.items():
+                wi = term_payload.get((field, term))
+                if wi is None:
+                    continue
+                w, idf = wi
+                entries.append(((field, term), w, idf, float(g["max_score"].max()) * w, g))
+            entries.sort(key=lambda e: -e[3])
+            suffix = np.cumsum([e[3] for e in entries][::-1])[::-1]
+            theta = -math.inf
+            for i, ((field, term), w, idf, mx, g) in enumerate(entries):
+                rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
+                adl = avgdl[field]
+                dl = lens[field]
+                prune = (mode == "bm25") and (theta > -math.inf)
+                for _, blk in g.iterrows():
+                    if prune:
+                        lo, hi = int(blk["first_local"]), int(blk["last_local"])
+                        ub = acc[lo:hi + 1].max() + blk["max_score"] * w + rem_after
+                        if ub < theta:
+                            continue
+                    bl_ids = delta_decode(blk["doc_bytes"], int(blk["n"])).astype(np.int64)
+                    tfs = varbyte_decode(blk["tf_bytes"], int(blk["n"])).astype(np.float64)
+                    denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
+                    acc[bl_ids] += w * (idf * tfs / denom)
+                    touched[bl_ids] = True
+                # theta = current k-th best lower bound among eligible docs
+                if mode == "bm25" and touched.any():
+                    cand = acc[touched & is_full] if full_only else acc[touched]
+                    if cand.size >= k:
+                        theta = float(np.partition(cand, -k)[-k])
+
+        if mode == "bm25":
+            sel = touched & is_full if full_only else touched
+            idxs = np.flatnonzero(sel)
+            scores = acc[idxs]
+        elif mode == "hybrid":
+            idxs = np.flatnonzero(touched)
+            bm = acc[idxs]
+            sig = 1.0 / (1.0 + np.exp(-bm / HYBRID_SIGMOID_SCALE))
+            emb = np.stack(attr["embedding"].values[idxs]).astype(np.float64) \
+                if len(idxs) else np.zeros((0, 1))
+            if len(idxs):
+                sims = np.clip(emb @ query_vec.astype(np.float64), -1.0, 1.0)
+                sem = 1.0 / (1.0 + np.arccos(sims))
+            else:
+                sem = np.zeros(0)
+            scores = HYBRID_BM25_WEIGHT * sig + HYBRID_SEM_WEIGHT * sem
+        else:  # semantic: all chunk docs, closeness only
+            sel = ~is_full
+            idxs = np.flatnonzero(sel)
+            if len(idxs):
+                emb = np.stack(attr["embedding"].values[idxs]).astype(np.float64)
+                sims = np.clip(emb @ query_vec.astype(np.float64), -1.0, 1.0)
+                scores = 1.0 / (1.0 + np.arccos(sims))
+            else:
+                scores = np.zeros(0)
+
+        if len(idxs) == 0:
+            return empty
+
+        out = pd.DataFrame(
+            {
+                "id": ids[idxs],
+                "parent_id": attr["parent_id"].values[idxs],
+                "doc_type": attr["doc_type"].values[idxs],
+                "parent_doc_type": attr["parent_doc_type"].values[idxs],
+                "score": scores,
+            }
+        )
+        # local per-parent dedup: keep best (score desc, id asc) per parent
+        out["dedup_key"] = out["parent_id"].where(out["parent_id"].notna(), out["id"])
+        out = out.sort_values(["score", "id"], ascending=[False, True])
+        out = out.drop_duplicates("dedup_key", keep="first").drop(columns="dedup_key")
+        return out.head(k)
+
+    return kernel
+
+
+class SearchEngine:
+    """Serve-side facade over an IndexStore (api/main.py /api/search parity)."""
+
+    def __init__(self, spark: SparkSession, store: IndexStore,
+                 cfg: Optional[IndexConfig] = None):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg or IndexConfig()
+        self.stats = {
+            r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
+            for r in store.read(spark, "corpus_stats").collect()
+        }
+        self._postings = store.read_parts(spark, "postings")
+        self._attrs = store.read(spark, "attributes")
+        self._unified = store.read(spark, "unified")
+        self._bucket_cache: Dict[str, int] = {}
+
+    # --- query compilation ---
+    def _term_info(self, terms: List[str], fields: List[str]) -> Dict:
+        if not terms:
+            return {}
+        td = self.store.read(self.spark, "term_dict")
+        buckets = self._tbuckets(terms)
+        rows = (
+            td.filter(F.col("tbucket").isin(buckets))
+            .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+            .collect()
+        )
+        return {(r["field"], r["term"]): (float(r["idf"]), int(r["df"])) for r in rows}
+
+    def _tbuckets(self, terms: List[str]) -> List[int]:
+        """tbucket of each term, via the SAME JVM xxhash64 expression the
+        build used (one tiny local job; memoized per engine)."""
+        missing = [t for t in terms if t not in self._bucket_cache]
+        if missing:
+            df = self.spark.createDataFrame([(t,) for t in missing], "term string")
+            for r in df.select(
+                "term", tbucket_col(F.col("term"), self.cfg.term_buckets).alias("tb")
+            ).collect():
+                self._bucket_cache[r["term"]] = int(r["tb"])
+        return sorted({self._bucket_cache[t] for t in terms})
+
+    def search(self, query: str, search_type: str = "bm25",
+               k: int = DEFAULT_LIMIT) -> DataFrame:
+        """Returns DataFrame(rank, id, url, title, snippet, domain,
+        relevance, doc_type) -- the SearchResult projection
+        (api/main.py:509-517)."""
+        if not 1 <= k <= MAX_LIMIT:
+            raise ValueError(f"limit must be in [1, {MAX_LIMIT}]")
+        if search_type not in ("bm25", "semantic", "hybrid"):
+            raise ValueError(f"invalid search_type {search_type}")
+
+        terms = _query_terms(query)
+        fields = (
+            ["title", "content", "description"] if search_type == "bm25"
+            else list(INDEXED_FIELDS)
+        )
+        weights = BM25_FULL_WEIGHTS if search_type == "bm25" else {
+            **BM25_FULL_WEIGHTS, "chunk_content": BM25_CHUNK_WEIGHTS["chunk_content"],
+        }
+
+        info = self._term_info(terms, fields) if search_type != "semantic" else {}
+        if search_type != "semantic" and not info:
+            return self._empty_result()
+
+        qvec = embed_text(query) if search_type in ("semantic", "hybrid") else None
+
+        term_payload = {
+            (f, t): (weights[f], idf)
+            for (f, t), (idf, _df) in info.items()
+            if weights.get(f)
+        }
+        avgdl = {f: self.stats.get(f, (0, 1.0))[1] or 1.0 for f in INDEXED_FIELDS}
+
+        kernel = _bm25_shard_kernel(
+            term_payload, avgdl, self.cfg.k1, self.cfg.b, k, search_type,
+            qvec, full_only=(search_type == "bm25"),
+        )
+
+        attr_cols = ["shard", "local_id", "id", "doc_type", "parent_id",
+                     "parent_doc_type"] + [f"len_{f}" for f in INDEXED_FIELDS]
+        if search_type in ("semantic", "hybrid"):
+            attr_cols.append("embedding")
+        attrs = self._attrs.select(*attr_cols)
+        if search_type == "semantic":
+            attrs = attrs.filter(F.col("doc_type") == "chunk")
+
+        if search_type == "semantic":
+            # no posting involvement: empty left side of the cogroup
+            post = self.spark.createDataFrame(
+                [], self._postings.schema
+            )
+        else:
+            buckets = self._tbuckets(terms)
+            post = self._postings.filter(
+                F.col("tbucket").isin(buckets)
+                & F.col("term").isin(terms)
+                & F.col("field").isin(fields)
+            )
+
+        scored = (
+            post.groupBy("shard")
+            .cogroup(attrs.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: kernel(pl, pr), schema=SCORE_SCHEMA)
+        )
+
+        # global merge: D1 dedup across shards + deterministic tie-break
+        dedup_key = F.coalesce(F.col("parent_id"), F.col("id"))
+        w = Window.partitionBy(dedup_key).orderBy(F.desc("score"), F.asc("id"))
+        topk = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(k)
+        )
+        return self._enrich(topk, terms, search_type, k)
+
+    # --- enrichment (J5, P11, P16, P17, O7) ---
+    def _enrich(self, topk: DataFrame, terms: List[str], search_type: str,
+                k: int) -> DataFrame:
+        hits = topk.collect()  # <= k rows by construction
+        if not hits:
+            return self._empty_result()
+        hit_ids = [r["id"] for r in hits]
+        rows = (
+            self._unified.filter(F.col("id").isin(hit_ids))
+            .select("id", "url", "domain", "title", "content", "chunk_content")
+            .collect()
+        )
+        meta = {r["id"]: r for r in rows}
+        out = []
+        order = sorted(hits, key=lambda r: (-r["score"], r["id"]))
+        for rank, h in enumerate(order, 1):
+            m = meta.get(h["id"])
+            if h["doc_type"] == "chunk":
+                snippet = (m["chunk_content"] or "") if m else ""
+                rid = h["parent_id"] or h["id"]
+            else:
+                content = (m["content"] or "") if m else ""
+                snippet = _dynamic_snippet(content, terms)
+                rid = h["id"]
+            out.append(
+                (
+                    rank, rid, (m["url"] if m else ""),
+                    (m["title"] or "Untitled") if m else "Untitled",
+                    clean_snippet(snippet), (m["domain"] if m else ""),
+                    float(h["score"]),
+                    h["parent_doc_type"] or h["doc_type"] or "general",
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "rank int, id string, url string, title string, snippet string, "
+            "domain string, relevance double, doc_type string",
+        )
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "rank int, id string, url string, title string, snippet string, "
+            "domain string, relevance double, doc_type string",
+        )
+
+
+def _dynamic_snippet(content: str, terms: List[str], width: int = 250) -> str:
+    """Normative dynamic snippet: the window around the first query-term
+    occurrence, word-aligned, <sep/>-style ellipses; falls back to
+    content[:250] + '...' (api/main.py:499-503)."""
+    if not content:
+        return ""
+    low = content.lower()
+    pos = -1
+    for t in terms:
+        p = low.find(t)
+        if p >= 0 and (pos < 0 or p < pos):
+            pos = p
+    if pos < 0:
+        return content[:SNIPPET_FALLBACK_CHARS] + "..." if len(content) > SNIPPET_FALLBACK_CHARS else content
+    start = max(0, pos - width // 2)
+    end = min(len(content), start + width)
+    if start > 0:
+        sp = content.find(" ", start)
+        start = sp + 1 if 0 <= sp < end else start
+    snippet = content[start:end]
+    prefix = "<sep/>" if start > 0 else ""
+    suffix = "<sep/>" if end < len(content) else ""
+    return f"{prefix}{snippet}{suffix}"
+
+
+_HI_RE1 = re.compile(r"</?hi>")
+_SEP_RE = re.compile(r"<sep/>")
+
+
+def clean_snippet(snippet: str) -> str:
+    """api/main.py:164-170: strip <hi> tags, <sep/> -> ' ... '."""
+    if not snippet:
+        return ""
+    s = _HI_RE1.sub("", snippet)
+    s = _SEP_RE.sub(" ... ", s)
+    return s.strip()

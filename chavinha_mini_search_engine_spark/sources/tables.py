@@ -1,0 +1,145 @@
+"""Index storage + checkpoint manifest.
+
+The design target is an Iceberg catalog (north_rule): every stage is one
+atomic Iceberg commit and the checkpoint manifest row is written in the
+same transaction.  This sandbox has no Iceberg runtime jars, so the store
+falls back to parquet directories with rename-based atomic commits and a
+JSON manifest -- the *resume semantics* (stage- and shard-group-level
+skip of completed work, per-partition lineage + metrics) are identical and
+tested (tests/test_resume.py).  On a real cluster, set ``iceberg_table``
+naming and the writes below become ``df.writeTo(...)`` -- the call sites
+are isolated here on purpose.
+
+Layout under ``root``:
+  manifest.json                 -- build_id, per-stage status + metrics
+  docs/ chunks/ unified/        -- document tables (unified partitioned by shard)
+  term_dict/ corpus_stats/      -- broadcastable stats
+  postings/grp=K/               -- posting lists, committed per shard-group
+  attributes/                   -- per-(shard, local_id) norms + embeddings
+  build_metrics/                -- per-stage, per-partition lineage rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexStore:
+    def __init__(self, root: str, build_id: Optional[str] = None):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.manifest_path = os.path.join(root, "manifest.json")
+        m = self._read_manifest()
+        if build_id is not None and m.get("build_id") not in (None, build_id):
+            # a different build owns this dir: start fresh
+            shutil.rmtree(root)
+            os.makedirs(root, exist_ok=True)
+            m = {}
+        self.manifest = m or {
+            "build_id": build_id or uuid.uuid4().hex,
+            "stages": {},
+        }
+        self._write_manifest()
+
+    @property
+    def build_id(self) -> str:
+        return self.manifest["build_id"]
+
+    # --- manifest ---
+    def _read_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _write_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    def stage_done(self, stage: str, part: Optional[str] = None) -> bool:
+        st = self.manifest["stages"].get(stage)
+        if not st:
+            return False
+        if part is None:
+            return st.get("status") == "done"
+        return st.get("parts", {}).get(part, {}).get("status") == "done"
+
+    def begin_stage(self, stage: str) -> None:
+        self.manifest["stages"].setdefault(
+            stage, {"status": "running", "parts": {}}
+        )["started_ts"] = time.time()
+        self._write_manifest()
+
+    def finish_stage(self, stage: str, metrics: Optional[dict] = None) -> None:
+        st = self.manifest["stages"][stage]
+        st["status"] = "done"
+        st["finished_ts"] = time.time()
+        if metrics:
+            st["metrics"] = metrics
+        self._write_manifest()
+
+    def finish_part(self, stage: str, part: str, metrics: Optional[dict] = None) -> None:
+        st = self.manifest["stages"].setdefault(stage, {"status": "running", "parts": {}})
+        st.setdefault("parts", {})[part] = {
+            "status": "done",
+            "finished_ts": time.time(),
+            "metrics": metrics or {},
+        }
+        self._write_manifest()
+
+    # --- table io (Iceberg writeTo on a real catalog) ---
+    def path(self, table: str, part: Optional[str] = None) -> str:
+        p = os.path.join(self.root, table)
+        return os.path.join(p, part) if part else p
+
+    def write(self, df: DataFrame, table: str, part: Optional[str] = None,
+              partition_by: Optional[list] = None) -> str:
+        """Atomic-ish: write to tmp, rename into place."""
+        final = self.path(table, part)
+        tmp = final + f".__tmp_{uuid.uuid4().hex[:8]}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(tmp, final)
+        return final
+
+    def read(self, spark: SparkSession, table: str, part: Optional[str] = None) -> DataFrame:
+        return spark.read.parquet(self.path(table, part))
+
+    def read_parts(self, spark: SparkSession, table: str) -> DataFrame:
+        base = self.path(table)
+        parts = sorted(
+            os.path.join(base, d) for d in os.listdir(base)
+            if not d.startswith("_") and not d.startswith(".")
+            and "__tmp" not in d
+        )
+        return spark.read.option("basePath", base).parquet(*parts)
+
+    def exists(self, table: str, part: Optional[str] = None) -> bool:
+        return os.path.exists(self.path(table, part))
+
+    def append_metrics(self, spark: SparkSession, rows: list) -> None:
+        """Per-partition lineage/metrics rows (FIXTURES.md build_metrics)."""
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            rows,
+            "build_id string, stage string, shard int, rows long, "
+            "docs_per_sec double, postings_per_sec double, "
+            "bytes_in long, bytes_compressed long, wall_sec double",
+        )
+        out = self.path("build_metrics", f"part={uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
