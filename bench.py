@@ -1,0 +1,146 @@
+"""Benchmark harness.
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline value = BM25 query p95 (sec) over the 30-query reference set on a
+warm indexed engine, the reference's own headline metric (BASELINE.md).
+The queries dict additionally carries index-build throughput and the
+training-data-pipeline op timings.
+
+Scaling (north_rule N vs 4N): run scripts/scaling_bench.py -- it executes
+the same build+query workload in two subprocesses (local[8] / local[32])
+and appends the measured efficiency to BENCH_SCALING.md.  bench.py itself
+stays single-configuration so the driver's per-round numbers are
+comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from chavinha_mini_search_engine_spark.fixtures.pages import pages_from_documents
+    from chavinha_mini_search_engine_spark.fixtures.queries import ALL_QUERIES
+    from chavinha_mini_search_engine_spark.operators import dedup, similarity, textstats
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+    )
+    from chavinha_mini_search_engine_spark.operators.search import SearchEngine
+    from chavinha_mini_search_engine_spark.session import get_spark
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    if quiet:
+        spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+    timings: dict = {}
+
+    # --- index build (extract -> chunk -> postings), embeddings on ---
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        pages = pages_from_documents(docs)
+        cfg = IndexConfig(num_doc_shards=cpus, shard_groups=4,
+                          heavy_term_df=max(n_docs // 10, 100), num_salts=8,
+                          term_buckets=64)
+        store = IndexStore(os.path.join(idx_dir, "idx"), build_id="bench")
+        t = time.time()
+        build_index(spark, pages, store, cfg, with_embeddings=True,
+                    verify_text_invariant=False)
+        build_sec = time.time() - t
+        timings["index_build"] = round(build_sec, 3)
+        timings["index_build_docs_per_sec"] = round(n_docs / build_sec, 2)
+
+        # --- BM25 query latency over the reference query set, warm ---
+        eng = SearchEngine(spark, store, cfg)
+        eng.search("warmup query python", "bm25", 10).collect()
+        lat = []
+        for q in ALL_QUERIES:
+            t = time.time()
+            eng.search(q, "bm25", 10).collect()
+            lat.append(time.time() - t)
+        lat.sort()
+        timings["bm25_p50"] = round(lat[len(lat) // 2], 3)
+        timings["bm25_p95"] = round(lat[int(len(lat) * 0.95) - 1], 3)
+        timings["bm25_avg"] = round(sum(lat) / len(lat), 3)
+
+        t = time.time()
+        eng.search("python async programming", "hybrid", 10).collect()
+        timings["hybrid_query"] = round(time.time() - t, 3)
+        t = time.time()
+        eng.search("python async programming", "semantic", 10).collect()
+        timings["semantic_query"] = round(time.time() - t, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # --- scan-based BM25 (no index) ---
+    t = time.time()
+    entry._q_bm25_topk(spark, sf_dir).collect()
+    timings["bm25_scan_topk"] = round(time.time() - t, 3)
+
+    # --- training-data pipeline ops ---
+    t = time.time()
+    dedup.exact_dedup(docs).count()
+    timings["dedup_exact"] = round(time.time() - t, 3)
+
+    t = time.time()
+    dedup.minhash_lsh_dedup(docs.filter(F.col("lang") == "en"), threshold=0.12).count()
+    timings["dedup_minhash_lsh"] = round(time.time() - t, 3)
+
+    t = time.time()
+    dedup.simhash_neardup_pairs(docs, max_hamming=3).count()
+    timings["dedup_simhash"] = round(time.time() - t, 3)
+
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    t = time.time()
+    similarity.cosine_topk(emb, qvec, 10).collect()
+    timings["ann_brute_topk"] = round(time.time() - t, 3)
+    t = time.time()
+    similarity.lsh_bucketed_topk(emb, qvec, 10).collect()
+    timings["ann_lsh_topk"] = round(time.time() - t, 3)
+
+    t = time.time()
+    textstats.quality_features(docs).count()
+    textstats.language_id(docs).count()
+    textstats.token_counts(docs).count()
+    timings["textstats_all"] = round(time.time() - t, 3)
+
+    spark.stop()
+    return {"n_docs": n_docs, "timings": timings}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    res = run_bench(sf_dir, cpus)
+    out = {
+        "metric": "bm25_query_p95_warm_indexed",
+        "value": res["timings"]["bm25_p95"],
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": res["n_docs"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,9 @@ class IndexConfig:
     heavy_term_df: int = 100_000
     num_salts: int = 8
     term_buckets: int = 64            # parquet partition dirs for pruning
+    encode_buckets: int = 8           # term-hash buckets per shard for the
+                                      # encode/merge kernels (tasks per
+                                      # shard = encode_buckets [x salts])
     shard_groups: int = 8             # checkpoint granularity for postings
     k1: float = BM25_K1
     b: float = BM25_B

@@ -185,6 +185,31 @@ def generate_pages(n: int, include_edges: bool = True, seed: int = SEED) -> List
 PAGES_DDL_COLUMNS = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def pages_from_documents(docs_df):
+    """Wrap the driver's ``documents`` table into the pages schema, fully
+    JVM-side (for benchmarks at scales where the python generator would be
+    the bottleneck).  ``text`` is left empty -- bench builds skip the
+    byte-identity verify (that invariant is pytest's job on the generated
+    corpus, where the oracle produced ``text``)."""
+    from pyspark.sql import functions as F
+
+    return docs_df.select(
+        F.concat(F.lit("https://bench.example.org/doc/"), F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("url"),
+        F.to_timestamp(F.lit("2025-08-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+                F.lit("</title></head><body><main><p>"), F.col("text"),
+                F.lit("</p></main></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
 def write_pages_parquet(spark, path: str, n: int, include_edges: bool = True, seed: int = SEED):
     """Materialize the pages table as parquet (Iceberg writeTo on a real
     catalog -- partitionedBy(days(warc_ts), bucket(N, url)) per SURVEY S3)."""

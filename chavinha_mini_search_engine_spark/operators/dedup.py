@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these operate on a generic (id, text) table -- in this repo the
+driver's ``documents`` table and the engine's ``docs`` table both qualify.
+
+Scale notes:
+- exact dedup = one hash aggregate (map-side partial) on a fingerprint;
+- n-gram Jaccard = shingle explode + self-join on shingle; the join key is
+  a shingle hash so dictionary-encoded strings never shuffle; quadratic
+  blowup is bounded per shingle-bucket (a stop-shingle cap would be added
+  for true web scale -- see ``max_bucket``);
+- MinHash+LSH is the 10^12-scale path: signatures are built JVM-side with
+  ``xxhash64(shingle, seed)`` (no Python in the hot path), banded, and only
+  same-bucket candidates are verified with exact Jaccard;
+- SimHash: 64-bit fingerprints via a vectorized pandas UDF, near-dup =
+  hamming distance <= d by banding on 4 x 16-bit keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.tokenizer import tokens_col
+
+
+def normalized_text(col):
+    """lower + collapse whitespace + trim: the dedup normal form."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_col(col):
+    return F.md5(normalized_text(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One survivor (min id) per identical normalized text.
+    Returns (fingerprint, keep_id, dup_count)."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles_col(text_col, n: int = 3):
+    """Word n-gram shingles (distinct), JVM-side."""
+    toks = tokens_col(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs (a < b).
+
+    ``max_bucket`` drops shingles shared by more than that many docs
+    (stop-shingles) -- mandatory at web scale, off by default so the small
+    -scale result is exactly the quadratic ground truth.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    if max_bucket:
+        hot = ex.groupBy("s").count().filter(F.col("count") > max_bucket).select("s")
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    inter = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signature(text_col, num_perm: int = 64, n: int = 3):
+    """num_perm MinHash values, each = min over shingles of
+    xxhash64(shingle, seed_i).  Pure JVM expressions (codegen)."""
+    sh = shingles_col(text_col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: same band-hash in any of ``bands`` bands
+    (rows = num_perm/bands).  Returns distinct (a, b) with a < b."""
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, n).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]).alias("h"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bh")).select(
+        "id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (computed only for
+    candidate pairs -- the web-scale pattern: candidates << all pairs)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    )
+    j = (
+        cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over normative tokens (vectorized numpy kernel).
+
+    Token hash = first 8 bytes of md5 (stable everywhere); bit votes
+    weighted by tf."""
+    import hashlib
+
+    from ..functions.tokenizer import tokenize_py
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, t in enumerate(texts):
+        toks = tokenize_py(t or "")
+        if not toks:
+            continue
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        hs = np.array(
+            [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") for u in uniq],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        out[row] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    banding the 64-bit signature into 4 x 16-bit keys (a pair within
+    hamming<=3 must agree on at least one band) then verifying exactly."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.col("x.sig").alias("siga"), F.col("y.sig").alias("sigb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -71,68 +71,88 @@ def tbucket_col(term_col, n_buckets: int):
 
 
 # ---------- kernels ----------
+#
+# Both kernels process MANY (field, term) segments per invocation: tasks are
+# keyed by (shard, ekey/mkey) hash buckets, not by term, so Python/pandas
+# per-group overhead is amortized over hundreds of terms while memory per
+# task stays bounded (non-heavy rows are 1/E of a shard; heavy-term rows are
+# additionally split across `num_salts` tasks by the salt column).
 
-def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (field, term, shard, salt) group -> one compressed sorted run."""
-    order = np.argsort(pdf["local_id"].values, kind="stable")
-    ids = pdf["local_id"].values[order].astype(np.uint64)
-    tfs = pdf["tf"].values[order].astype(np.uint64)
-    scores = pdf["score"].values[order].astype(np.float64)
-    return pd.DataFrame(
-        {
-            "field": [pdf["field"].iloc[0]],
-            "term": [pdf["term"].iloc[0]],
-            "shard": [int(pdf["shard"].iloc[0])],
-            "n": [len(ids)],
-            "doc_bytes": [delta_encode(ids)],
-            "tf_bytes": [varbyte_encode(tfs)],
-            "score_bytes": [scores.tobytes()],
-        }
-    )
+
+def _encode_runs_many(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (shard, ekey, salt) bucket -> one compressed sorted run per
+    (field, term) segment found in it."""
+    shard = int(pdf["shard"].iloc[0])
+    f = pdf["field"].values.astype(object)
+    t = pdf["term"].values.astype(object)
+    lid = pdf["local_id"].values.astype(np.int64)
+    tf = pdf["tf"].values.astype(np.int64)
+    sc = pdf["score"].values.astype(np.float64)
+    # sort by (field, term, local_id): factorize strings -> lexsort ints
+    fcodes, _ = pd.factorize(f, sort=True)
+    tcodes, _ = pd.factorize(t, sort=True)
+    order = np.lexsort((lid, tcodes, fcodes))
+    f, t, lid, tf, sc = f[order], t[order], lid[order], tf[order], sc[order]
+    fc, tc = fcodes[order], tcodes[order]
+    seg = np.flatnonzero(np.diff(fc) | np.diff(tc))
+    starts = np.concatenate(([0], seg + 1))
+    ends = np.concatenate((seg + 1, [len(f)]))
+    rows = {k: [] for k in (
+        "field", "term", "shard", "n", "doc_bytes", "tf_bytes", "score_bytes",
+    )}
+    for s, e in zip(starts, ends):
+        rows["field"].append(f[s])
+        rows["term"].append(t[s])
+        rows["shard"].append(shard)
+        rows["n"].append(int(e - s))
+        rows["doc_bytes"].append(delta_encode(lid[s:e].astype(np.uint64)))
+        rows["tf_bytes"].append(varbyte_encode(tf[s:e].astype(np.uint64)))
+        rows["score_bytes"].append(sc[s:e].tobytes())
+    return pd.DataFrame(rows)
 
 
 def _make_merge_runs(block_size: int):
     from ..functions.codec import delta_decode, varbyte_decode
 
-    def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
-        """(field, term, shard) runs -> final block rows (multi-way merge).
-
-        Runs hold disjoint sorted local_id sets (salt partitions them), so
-        the k-way merge is concat + mergesort -- O(n log k) in effect.
-        """
-        ids_parts, tf_parts, sc_parts = [], [], []
-        for _, r in pdf.iterrows():
-            ids_parts.append(delta_decode(r["doc_bytes"], int(r["n"])))
-            tf_parts.append(varbyte_decode(r["tf_bytes"], int(r["n"])))
-            sc_parts.append(np.frombuffer(r["score_bytes"], dtype=np.float64))
-        ids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tf_parts)
-        scs = np.concatenate(sc_parts)
-        order = np.argsort(ids, kind="mergesort")
-        ids, tfs, scs = ids[order], tfs[order], scs[order]
-
-        field = pdf["field"].iloc[0]
-        term = pdf["term"].iloc[0]
+    def _merge_many(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One (shard, mkey) bucket -> final block rows for every
+        (field, term) segment: multi-way merge of that term's sorted runs
+        (runs hold disjoint local_id sets, so concat + mergesort)."""
         shard = int(pdf["shard"].iloc[0])
         rows = {k: [] for k in (
             "field", "term", "shard", "block_idx", "first_local", "last_local",
             "n", "max_score", "doc_bytes", "tf_bytes",
         )}
-        for bi, s in enumerate(range(0, len(ids), block_size)):
-            e = min(s + block_size, len(ids))
-            rows["field"].append(field)
-            rows["term"].append(term)
-            rows["shard"].append(shard)
-            rows["block_idx"].append(bi)
-            rows["first_local"].append(int(ids[s]))
-            rows["last_local"].append(int(ids[e - 1]))
-            rows["n"].append(e - s)
-            rows["max_score"].append(float(scs[s:e].max()))
-            rows["doc_bytes"].append(delta_encode(ids[s:e]))
-            rows["tf_bytes"].append(varbyte_encode(tfs[s:e]))
+        for (field, term), g in pdf.groupby(["field", "term"], sort=False):
+            ids_parts, tf_parts, sc_parts = [], [], []
+            for db, tb, sb, n in zip(g["doc_bytes"], g["tf_bytes"],
+                                     g["score_bytes"], g["n"]):
+                ids_parts.append(delta_decode(db, int(n)))
+                tf_parts.append(varbyte_decode(tb, int(n)))
+                sc_parts.append(np.frombuffer(sb, dtype=np.float64))
+            if len(ids_parts) == 1:
+                ids, tfs, scs = ids_parts[0], tf_parts[0], sc_parts[0]
+            else:
+                ids = np.concatenate(ids_parts)
+                tfs = np.concatenate(tf_parts)
+                scs = np.concatenate(sc_parts)
+                order = np.argsort(ids, kind="mergesort")
+                ids, tfs, scs = ids[order], tfs[order], scs[order]
+            for bi, s in enumerate(range(0, len(ids), block_size)):
+                e = min(s + block_size, len(ids))
+                rows["field"].append(field)
+                rows["term"].append(term)
+                rows["shard"].append(shard)
+                rows["block_idx"].append(bi)
+                rows["first_local"].append(int(ids[s]))
+                rows["last_local"].append(int(ids[e - 1]))
+                rows["n"].append(int(e - s))
+                rows["max_score"].append(float(scs[s:e].max()))
+                rows["doc_bytes"].append(delta_encode(ids[s:e]))
+                rows["tf_bytes"].append(varbyte_encode(tfs[s:e]))
         return pd.DataFrame(rows)
 
-    return _merge_runs
+    return _merge_many
 
 
 # ---------- build stages ----------
@@ -229,7 +249,13 @@ def scored_tf(tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfi
 def build_postings_for(
     stf: DataFrame, tdict: DataFrame, cfg: IndexConfig
 ) -> DataFrame:
-    """scored tf -> block rows, with explicit head-term salting (T6+T7)."""
+    """scored tf -> block rows, with explicit head-term salting (T6+T7).
+
+    Tasks are (shard, hash-bucket[, salt]) groups so one invocation encodes
+    many terms; a head term (df > heavy_term_df) is salted by local_id into
+    ``num_salts`` independent runs (bounding any single task) that the
+    merge stage k-way merges back into one blocked posting list.
+    """
     heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
         "field", "term", F.lit(True).alias("_heavy")
     )
@@ -241,10 +267,16 @@ def build_postings_for(
             F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
         ).otherwise(F.lit(0)),
     ).drop("_heavy")
-    runs = stf.groupBy("field", "term", "shard", "salt").applyInPandas(
-        _encode_run, schema=RUN_SCHEMA
+    stf = stf.withColumn(
+        "ekey", F.pmod(F.xxhash64("field", "term"), F.lit(cfg.encode_buckets)).cast("int")
     )
-    blocks = runs.groupBy("field", "term", "shard").applyInPandas(
+    runs = stf.groupBy("shard", "ekey", "salt").applyInPandas(
+        _encode_runs_many, schema=RUN_SCHEMA
+    )
+    runs = runs.withColumn(
+        "mkey", F.pmod(F.xxhash64("field", "term"), F.lit(cfg.encode_buckets)).cast("int")
+    )
+    blocks = runs.groupBy("shard", "mkey").applyInPandas(
         _make_merge_runs(cfg.block_size), schema=POSTINGS_SCHEMA
     )
     return blocks.withColumn("tbucket", tbucket_col(F.col("term"), cfg.term_buckets))

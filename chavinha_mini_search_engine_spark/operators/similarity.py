@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k -- the correctness baseline,
+  entirely JVM-side (zip_with + aggregate, no Python);
+- ``cosine_neardup_pairs``: exact pairwise cosine >= t (a < b);
+- ``lsh_bucketed_topk``: the scale path -- random-hyperplane LSH buckets
+  (deterministic seeded planes), probe the query bucket plus all
+  hamming-1 neighbor buckets, exact-score only the probed candidates.
+  Approximate by construction; recall vs brute force is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_col(vec_col, query: Sequence[float]):
+    q = [float(x) for x in query]
+    qn = float(np.linalg.norm(q)) or 1.0
+    qlit = F.array(*[F.lit(x) for x in q])
+    # cast the stored float32 vector to double BEFORE any arithmetic so the
+    # result matches a float64 oracle bit-for-bit
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    return _dot(v, qlit) / (F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v)) * F.lit(qn))
+
+
+def cosine_topk(
+    emb: DataFrame, query: Sequence[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity; deterministic tie-break on id."""
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = e.alias("x").join(e.alias("y"), F.col("x.id") < F.col("y.id"))
+    vx = F.transform(F.col("x.v"), lambda t: t.cast("double"))
+    vy = F.transform(F.col("y.v"), lambda t: t.cast("double"))
+    cos = _dot(vx, vy) / (
+        F.when(_norm(vx) == 0, F.lit(1.0)).otherwise(_norm(vx))
+        * F.when(_norm(vy) == 0, F.lit(1.0)).otherwise(_norm(vy))
+    )
+    return (
+        pairs.select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(
+        np.random.PCG64(int.from_bytes(hashlib.sha1(f"lsh-{seed}".encode()).digest()[:8], "big"))
+    )
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """sign-bit bucket id as a JVM expression: sum of bit * (dot > 0)."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    b = F.lit(0)
+    for i, p in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in p])
+        b = b + F.when(_dot(v, plit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
+    probe_radius: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> DataFrame:
+    """ANN: restrict exact scoring to the LSH buckets within
+    ``probe_radius`` hamming distance of the query's bucket (multi-probe).
+    At scale the bucket column is precomputed and the table is partitioned
+    by it -> partition pruning turns the scan into |probes|/2^n_planes of
+    the data.  Recall/cost is tuned by (n_planes, probe_radius)."""
+    from itertools import combinations
+
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) > 0)
+    probes: List[int] = []
+    for r in range(probe_radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = qsig
+            for b in bits:
+                m ^= 1 << b
+            probes.append(m)
+    bucketed = emb.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bkt").isin(probes))
+    return cosine_topk(cand, query, k, id_col, vec_col)

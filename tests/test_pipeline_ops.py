@@ -1,0 +1,143 @@
+"""Training-data pipeline operators: dedup / similarity / multimodal.
+
+The SQL-expressible ops are gated by the DuckDB driver oracle
+(scripts/check_oracle.py mirrors it); these tests cover what SQL cannot:
+MinHash-LSH recall, SimHash banding completeness, LSH-ANN recall, and the
+multimodal Arrow plumbing.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chavinha_mini_search_engine_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """30 docs with controlled near-duplication (seeded)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    base_texts = []
+    for i in range(10):
+        words = rng.choices(vocab, k=60)
+        base_texts.append(" ".join(words))
+        rows.append((i, base_texts[-1]))
+    # near-duplicates: perturb 1-3 words of a base (high jaccard)
+    for j in range(10):
+        words = base_texts[j % 10].split()
+        for _ in range(rng.randint(1, 3)):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        rows.append((100 + j, " ".join(words)))
+    # exact duplicates
+    for j in range(5):
+        rows.append((200 + j, base_texts[j]))
+    # unrelated
+    for j in range(5):
+        rows.append((300 + j, " ".join(rng.choices([f"z{i}" for i in range(50)], k=60))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_duplicates(dup_docs):
+    out = dedup.exact_dedup(dup_docs).collect()
+    dups = [r for r in out if r["dup_count"] > 1]
+    assert len(dups) == 5
+    for r in dups:
+        assert r["keep_id"] < 200  # survivor is the original
+
+
+def test_minhash_lsh_recall_vs_exact(dup_docs):
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs(dup_docs, threshold=0.8).collect()
+    }
+    assert len(exact) >= 10, "fixture must contain high-jaccard pairs"
+    lsh = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_dedup(dup_docs, threshold=0.8).collect()
+    }
+    # verification step makes LSH precise; 16x4 banding at j>=0.8 has
+    # ~99.98% per-pair recall
+    assert lsh <= {
+        (r["a"], r["b"]) for r in dedup.jaccard_pairs(dup_docs, threshold=0.8).collect()
+    }
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall}"
+
+
+def test_simhash_banding_complete(dup_docs):
+    """4x16 banding must find EVERY pair with hamming <= 3 (pigeonhole)."""
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in dup_docs.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("sig")
+        ).collect()
+    }
+    brute = set()
+    items = sorted(sigs.items())
+    for i, (a, sa) in enumerate(items):
+        for b, sb in items[i + 1:]:
+            if bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+                brute.add((a, b))
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_neardup_pairs(dup_docs, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert len(brute) >= 5  # exact dups have hamming 0
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, qvec, 10).collect()]
+    assert exact[0] == 0  # self-similarity = 1.0
+    approx = [r["vec_id"] for r in similarity.lsh_bucketed_topk(emb, qvec, 10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"ANN recall@10 {recall}"
+    assert approx[0] == 0
+
+
+def test_cosine_matches_numpy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    rows = emb.collect()
+    q = np.asarray(rows[0]["embedding"], dtype=np.float64)
+    got = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(emb, q, 50).collect()}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        expect = float(v @ q / ((np.linalg.norm(v) or 1.0) * (np.linalg.norm(q) or 1.0)))
+        assert abs(got[r["vec_id"]] - round(expect, 6)) < 2e-6
+
+
+# ---------------- multimodal plumbing ----------------
+
+def test_media_features_shapes(spark):
+    media = multimodal.make_fake_media_df(spark, n=24)
+    feats = multimodal.extract_media_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5  # histogram normalized
+        assert r["n_bytes"] == r["width"] * r["height"] * r["channels"]
+        assert r["media_type"] in ("image", "audio", "video")
+
+
+def test_media_resize_header(spark):
+    media = multimodal.make_fake_media_df(spark, n=6)
+    resized = multimodal.resize_stub(media, 16, 16)
+    feats = multimodal.extract_media_features(resized)
+    for r in feats.collect():
+        assert (r["width"], r["height"]) == (16, 16)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_payload(b"\x89PNG....", stub=False)
