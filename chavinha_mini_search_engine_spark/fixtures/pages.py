@@ -185,14 +185,21 @@ def generate_pages(n: int, include_edges: bool = True, seed: int = SEED) -> List
 PAGES_DDL_COLUMNS = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_from_documents(docs_df):
+def pages_from_documents(docs_df, html_repeat: int = 1):
     """Wrap the driver's ``documents`` table into the pages schema, fully
     JVM-side (for benchmarks at scales where the python generator would be
     the bottleneck).  ``text`` is left empty -- bench builds skip the
     byte-identity verify (that invariant is pytest's job on the generated
-    corpus, where the oracle produced ``text``)."""
+    corpus, where the oracle produced ``text``).
+
+    ``html_repeat`` repeats the body paragraph to emulate realistic
+    Common-Crawl page sizes (tens of KB of markup per page) -- the
+    documents fixture rows are ~300 bytes, ~100x smaller than real pages.
+    """
     from pyspark.sql import functions as F
 
+    para = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    body = F.concat(*([para] * html_repeat)) if html_repeat > 1 else para
     return docs_df.select(
         F.concat(F.lit("https://bench.example.org/doc/"), F.col("doc_id").cast("string"),
                  F.lit(".html")).alias("url"),
@@ -200,8 +207,9 @@ def pages_from_documents(docs_df):
         F.encode(
             F.concat(
                 F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
-                F.lit("</title></head><body><main><p>"), F.col("text"),
-                F.lit("</p></main></body></html>"),
+                F.lit('</title><script>var x=1;</script></head><body><nav>nav</nav><main>'),
+                body,
+                F.lit("</main><footer>footer</footer></body></html>"),
             ),
             "utf-8",
         ).alias("html"),

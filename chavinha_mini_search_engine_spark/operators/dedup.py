@@ -104,15 +104,34 @@ def jaccard_pairs(
     return j.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def minhash_signature(text_col, num_perm: int = 64, n: int = 3):
-    """num_perm MinHash values, each = min over shingles of
-    xxhash64(shingle, seed_i).  Pure JVM expressions (codegen)."""
-    sh = shingles_col(text_col, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures.
+
+    Shape matters at scale: shingles are hashed ONCE (explode -> xxhash64),
+    then the num_perm permutations are ``min(xxhash64(h, i))`` aggregates
+    over the 64-bit shingle hash -- a single hash aggregate with map-side
+    partial aggregation, instead of num_perm re-evaluations of the shingle
+    expression (which Catalyst's ProjectCollapse would otherwise inline).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_perm)
+    ]
+    wide = ex.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -127,10 +146,7 @@ def minhash_lsh_candidates(
     """LSH candidate pairs: same band-hash in any of ``bands`` bands
     (rows = num_perm/bands).  Returns distinct (a, b) with a < b."""
     rows = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, n).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),

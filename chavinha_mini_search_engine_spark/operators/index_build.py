@@ -279,7 +279,11 @@ def build_postings_for(
     blocks = runs.groupBy("shard", "mkey").applyInPandas(
         _make_merge_runs(cfg.block_size), schema=POSTINGS_SCHEMA
     )
-    return blocks.withColumn("tbucket", tbucket_col(F.col("term"), cfg.term_buckets))
+    blocks = blocks.withColumn("tbucket", tbucket_col(F.col("term"), cfg.term_buckets))
+    # co-locate each tbucket in one task before the dynamic-partition write:
+    # otherwise every task writes a file into every tbucket dir (tasks x
+    # buckets small files; each local-FS file commit fork+execs chmod)
+    return blocks.repartition(cfg.term_buckets, "tbucket")
 
 
 ATTR_SCHEMA_COLS = [
@@ -310,17 +314,36 @@ def build_index(
     cfg: Optional[IndexConfig] = None,
     with_embeddings: bool = True,
     verify_text_invariant: bool = True,
+    collect_metrics: bool = True,
 ) -> IndexStore:
     """Full checkpoint-resumable build.  Re-running after an interruption
     skips stages (and postings shard-groups) marked done in the manifest.
+
+    ``collect_metrics=False`` drops the row-count / per-shard lineage jobs
+    (2-3 extra Spark actions per stage) -- for throughput benchmarks where
+    the serial per-action latency would dominate small inputs.
     """
     cfg = cfg or IndexConfig()
+    # persist the physical layout in the manifest: the serve side MUST use
+    # the same shard/bucket geometry (SearchEngine reads it back)
+    from dataclasses import asdict
+    cfg_dict = asdict(cfg)
+    cfg_dict["fields"] = list(cfg_dict["fields"])
+    store.manifest["index_config"] = cfg_dict
+    store._write_manifest()
     t_all = time.time()
 
     # stage: docs
     if not store.stage_done("docs"):
         store.begin_stage("docs")
         t = time.time()
+        # the Arrow extraction kernel parallelizes per input partition; a
+        # source with few files (common for small synthetic inputs) would
+        # idle most cores.  Real CC dumps have thousands of files, so this
+        # repartition is a no-op at scale.
+        target_par = spark.sparkContext.defaultParallelism * 2
+        if pages.rdd.getNumPartitions() < target_par:
+            pages = pages.repartition(target_par)
         docs = extract_docs(pages)
         if with_embeddings:
             docs = embed_docs(docs)
@@ -333,9 +356,11 @@ def build_index(
             from .extract import verify_extraction_parity
             bad = verify_extraction_parity(pages, store.read(spark, "docs"))
             assert bad == 0, f"{bad} rows violate byte-identical extraction"
-        n = store.read(spark, "docs").count()
-        store.finish_stage("docs", {"rows": n, "wall_sec": time.time() - t,
-                                    "docs_per_sec": n / max(time.time() - t, 1e-9)})
+        m = {"wall_sec": time.time() - t}
+        if collect_metrics:
+            n = store.read(spark, "docs").count()
+            m.update(rows=n, docs_per_sec=n / max(m["wall_sec"], 1e-9))
+        store.finish_stage("docs", m)
 
     docs = store.read(spark, "docs")
 
@@ -349,8 +374,10 @@ def build_index(
         else:
             ch = ch.withColumn("chunk_embedding", F.lit(None).cast("array<float>"))
         store.write(ch, "chunks")
-        n = store.read(spark, "chunks").count()
-        store.finish_stage("chunks", {"rows": n, "wall_sec": time.time() - t})
+        m = {"wall_sec": time.time() - t}
+        if collect_metrics:
+            m["rows"] = store.read(spark, "chunks").count()
+        store.finish_stage("chunks", m)
 
     chunks = store.read(spark, "chunks")
 
@@ -359,7 +386,10 @@ def build_index(
         store.begin_stage("unified")
         t = time.time()
         u = unified_corpus(docs, chunks, cfg)
-        store.write(u, "unified", partition_by=["shard"])
+        # the window already hash-partitioned by shard; repartitioning on
+        # shard keeps 1 task -> 1 partition dir (small-file + fork control)
+        store.write(u.repartition(cfg.num_doc_shards, "shard"),
+                    "unified", partition_by=["shard"])
         store.finish_stage("unified", {"wall_sec": time.time() - t})
 
     unified = store.read(spark, "unified")
@@ -372,12 +402,16 @@ def build_index(
         tf = tf.withColumn(
             "grp", F.pmod(F.col("shard"), F.lit(cfg.shard_groups)).cast("int")
         )
-        store.write(tf, "tf", partition_by=["grp"])
+        store.write(
+            tf.repartition(spark.sparkContext.defaultParallelism * 2, "grp", "shard"),
+            "tf", partition_by=["grp"],
+        )
         tf = store.read(spark, "tf")
         stats = corpus_stats(tf)
         store.write(stats, "corpus_stats")
         td = term_dict(tf, store.read(spark, "corpus_stats"), cfg)
-        store.write(td, "term_dict", partition_by=["tbucket"])
+        store.write(td.repartition(cfg.term_buckets, "tbucket"),
+                    "term_dict", partition_by=["tbucket"])
         store.finish_stage("stats", {"wall_sec": time.time() - t})
 
     tf = store.read(spark, "tf")
@@ -395,37 +429,41 @@ def build_index(
         stf = scored_tf(tf_g, td, stats, cfg)
         blocks = build_postings_for(stf, td, cfg)
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
-        bdf = store.read(spark, "postings", part=part)
-        m = bdf.agg(
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum("n").alias("postings"),
-            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-        ).collect()[0]
         wall = time.time() - t
-        store.finish_part("postings", part, {
-            "blocks": int(m["blocks"]), "postings": int(m["postings"] or 0),
-            "bytes_compressed": int(m["bytes"] or 0),
-            "postings_per_sec": (m["postings"] or 0) / max(wall, 1e-9),
-            "wall_sec": wall,
-        })
-        # per-shard lineage rows
-        shard_rows = bdf.groupBy("shard").agg(
-            F.sum("n").alias("postings"),
-            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-        ).collect()
-        store.append_metrics(spark, [
-            (store.build_id, "postings", int(r["shard"]), int(r["postings"]),
-             0.0, float(r["postings"]) / max(wall, 1e-9),
-             0, int(r["bytes"]), wall)
-            for r in shard_rows
-        ])
+        if collect_metrics:
+            bdf = store.read(spark, "postings", part=part)
+            # one pass for both the part totals and per-shard lineage rows
+            shard_rows = bdf.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n").alias("postings"),
+                F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+            ).collect()
+            tot_post = sum(int(r["postings"] or 0) for r in shard_rows)
+            store.finish_part("postings", part, {
+                "blocks": sum(int(r["blocks"]) for r in shard_rows),
+                "postings": tot_post,
+                "bytes_compressed": sum(int(r["bytes"] or 0) for r in shard_rows),
+                "postings_per_sec": tot_post / max(wall, 1e-9),
+                "wall_sec": wall,
+            })
+            store.append_metrics(spark, [
+                (store.build_id, "postings", int(r["shard"]), int(r["postings"]),
+                 0.0, float(r["postings"]) / max(wall, 1e-9),
+                 0, int(r["bytes"]), wall)
+                for r in shard_rows
+            ])
+        else:
+            store.finish_part("postings", part, {"wall_sec": wall})
     store.finish_stage("postings")
 
     # stage: attributes
     if not store.stage_done("attributes"):
         store.begin_stage("attributes")
         t = time.time()
-        store.write(attributes(unified, cfg), "attributes", partition_by=["shard"])
+        store.write(
+            attributes(unified, cfg).repartition(cfg.num_doc_shards, "shard"),
+            "attributes", partition_by=["shard"],
+        )
         store.finish_stage("attributes", {"wall_sec": time.time() - t})
 
     store.manifest["total_wall_sec"] = time.time() - t_all

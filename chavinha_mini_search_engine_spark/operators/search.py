@@ -153,31 +153,32 @@ def _bm25_shard_kernel(
                     if cand.size >= k:
                         theta = float(np.partition(cand, -k)[-k])
 
+        def _closeness(idxs_):
+            """Vespa closeness(angular) = 1/(1+arccos(cos)); docs without a
+            stored embedding (index built with_embeddings=False) score as a
+            zero vector (cos=0)."""
+            if not len(idxs_):
+                return np.zeros(0)
+            dim = len(query_vec)
+            vals = attr["embedding"].values[idxs_]
+            emb = np.stack([
+                v if v is not None and len(v) == dim else np.zeros(dim, dtype=np.float32)
+                for v in vals
+            ]).astype(np.float64)
+            sims = np.clip(emb @ query_vec.astype(np.float64), -1.0, 1.0)
+            return 1.0 / (1.0 + np.arccos(sims))
+
         if mode == "bm25":
             sel = touched & is_full if full_only else touched
             idxs = np.flatnonzero(sel)
             scores = acc[idxs]
         elif mode == "hybrid":
             idxs = np.flatnonzero(touched)
-            bm = acc[idxs]
-            sig = 1.0 / (1.0 + np.exp(-bm / HYBRID_SIGMOID_SCALE))
-            emb = np.stack(attr["embedding"].values[idxs]).astype(np.float64) \
-                if len(idxs) else np.zeros((0, 1))
-            if len(idxs):
-                sims = np.clip(emb @ query_vec.astype(np.float64), -1.0, 1.0)
-                sem = 1.0 / (1.0 + np.arccos(sims))
-            else:
-                sem = np.zeros(0)
-            scores = HYBRID_BM25_WEIGHT * sig + HYBRID_SEM_WEIGHT * sem
+            sig = 1.0 / (1.0 + np.exp(-acc[idxs] / HYBRID_SIGMOID_SCALE))
+            scores = HYBRID_BM25_WEIGHT * sig + HYBRID_SEM_WEIGHT * _closeness(idxs)
         else:  # semantic: all chunk docs, closeness only
-            sel = ~is_full
-            idxs = np.flatnonzero(sel)
-            if len(idxs):
-                emb = np.stack(attr["embedding"].values[idxs]).astype(np.float64)
-                sims = np.clip(emb @ query_vec.astype(np.float64), -1.0, 1.0)
-                scores = 1.0 / (1.0 + np.arccos(sims))
-            else:
-                scores = np.zeros(0)
+            idxs = np.flatnonzero(~is_full)
+            scores = _closeness(idxs)
 
         if len(idxs) == 0:
             return empty
@@ -204,9 +205,15 @@ class SearchEngine:
     """Serve-side facade over an IndexStore (api/main.py /api/search parity)."""
 
     def __init__(self, spark: SparkSession, store: IndexStore,
-                 cfg: Optional[IndexConfig] = None):
+                 cfg: Optional[IndexConfig] = None, cache: bool = True):
         self.spark = spark
         self.store = store
+        if cfg is None:
+            saved = store.manifest.get("index_config")
+            if saved:
+                saved = dict(saved)
+                saved["fields"] = tuple(saved.get("fields", ()))
+                cfg = IndexConfig(**saved)
         self.cfg = cfg or IndexConfig()
         self.stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
@@ -215,13 +222,30 @@ class SearchEngine:
         self._postings = store.read_parts(spark, "postings")
         self._attrs = store.read(spark, "attributes")
         self._unified = store.read(spark, "unified")
-        self._bucket_cache: Dict[str, int] = {}
+        # streamed delta segments (streaming/incremental.py) merge into the
+        # serve view Lucene-segment style
+        if store.exists("attributes_delta"):
+            self._attrs = self._attrs.unionByName(
+                store.read_parts(spark, "attributes_delta").drop("delta")
+            )
+        if store.exists("unified_delta"):
+            self._unified = self._unified.unionByName(
+                store.read_parts(spark, "unified_delta").drop("delta")
+            )
+        self._term_dict = store.read(spark, "term_dict")
+        if cache:
+            # serve-path residency: the Vespa-content-node analog of
+            # memory-mapped attributes + hot posting pages.  At cluster
+            # scale this is executor storage memory (MEMORY_AND_DISK).
+            self._attrs = self._attrs.cache()
+            self._postings = self._postings.cache()
+            self._term_dict = self._term_dict.cache()
 
     # --- query compilation ---
     def _term_info(self, terms: List[str], fields: List[str]) -> Dict:
         if not terms:
             return {}
-        td = self.store.read(self.spark, "term_dict")
+        td = self._term_dict
         buckets = self._tbuckets(terms)
         rows = (
             td.filter(F.col("tbucket").isin(buckets))
@@ -231,16 +255,12 @@ class SearchEngine:
         return {(r["field"], r["term"]): (float(r["idf"]), int(r["df"])) for r in rows}
 
     def _tbuckets(self, terms: List[str]) -> List[int]:
-        """tbucket of each term, via the SAME JVM xxhash64 expression the
-        build used (one tiny local job; memoized per engine)."""
-        missing = [t for t in terms if t not in self._bucket_cache]
-        if missing:
-            df = self.spark.createDataFrame([(t,) for t in missing], "term string")
-            for r in df.select(
-                "term", tbucket_col(F.col("term"), self.cfg.term_buckets).alias("tb")
-            ).collect():
-                self._bucket_cache[r["term"]] = int(r["tb"])
-        return sorted({self._bucket_cache[t] for t in terms})
+        """tbucket per term, computed driver-side with the pure-Python
+        XXH64 twin of the JVM expression (bit-identical, tests/test_xxhash
+        .py) -- no Spark job for query compilation."""
+        from ..functions.xxhash import spark_pmod_bucket
+
+        return sorted({spark_pmod_bucket(t, self.cfg.term_buckets) for t in terms})
 
     def search(self, query: str, search_type: str = "bm25",
                k: int = DEFAULT_LIMIT) -> DataFrame:

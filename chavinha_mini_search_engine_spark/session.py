@@ -16,12 +16,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+# one task = one core: stop BLAS/OMP from spawning ncpu threads per python
+# worker (N workers x 32 BLAS threads thrashes the box and anti-scales)
+_WORKER_THREAD_ENV = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_NUM_THREADS": "1",
+}
+
+
 def get_spark(
     app_name: str = "chavinha-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    for k, v in _WORKER_THREAD_ENV.items():
+        os.environ.setdefault(k, v)  # local mode: workers inherit driver env
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
@@ -37,6 +50,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         # On a real cluster an Iceberg catalog is attached here; this repo's
         # table layer (sources/tables.py) falls back to parquet when absent:
         #   .config("spark.sql.extensions",

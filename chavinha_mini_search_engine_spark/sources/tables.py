@@ -126,7 +126,14 @@ class IndexStore:
             if not d.startswith("_") and not d.startswith(".")
             and "__tmp" not in d
         )
-        return spark.read.option("basePath", base).parquet(*parts)
+        # parts may use different key names (grp=, delta=), so read each
+        # separately (inner partition dirs like tbucket= stay consistent)
+        # and union -- the Lucene-segment view of base + delta segments
+        dfs = [spark.read.parquet(p) for p in parts]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def exists(self, table: str, part: Optional[str] = None) -> bool:
         return os.path.exists(self.path(table, part))

@@ -1,0 +1,175 @@
+"""Structured Streaming: incremental ingest + index deltas + windowed aggs.
+
+The reference has no stream processor -- its incremental semantics are a
+resumable crawl loop and a full re-index (SURVEY.md §2.11).  The rebuild
+expresses the same capabilities Spark-first:
+
+- ``stream_pages_to_docs``: continuous ingest of new pages (file source) ->
+  the SAME Arrow extraction kernel as batch (mapInPandas works unchanged in
+  Structured Streaming) -> append sink.  Exactly-once via the stream
+  checkpoint; restart resumes from the last committed micro-batch -- the
+  streaming twin of the crawler's state file (doc_scraper.py:237-291).
+- ``stream_index_deltas``: foreachBatch turns each micro-batch of new pages
+  into a posting-list DELTA segment (same block format, written under
+  postings/delta=<epoch>_<batch_id>/).  The serve path (IndexStore.
+  read_parts) unions base + deltas automatically -- the Lucene-segment
+  pattern.  Deltas inherit the BASE build's corpus stats (idf/avgdl), so
+  scores drift as the corpus grows; ``compact`` (a full rebuild from
+  pages) refreshes stats -- the documented Lucene/Vespa tradeoff.
+- ``stream_events_hourly``: event-time tumbling window + watermark -- the
+  streaming twin of the batch ``events_hourly`` query the DuckDB oracle
+  gates.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..fixtures.pages import PAGES_DDL_COLUMNS
+from ..operators.extract import DOCS_SCHEMA, _extract_batches
+from ..sources.tables import IndexStore
+
+
+def stream_pages_to_docs(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source stream of pages -> extracted docs (append parquet sink)."""
+    src = (
+        spark.readStream.schema(PAGES_DDL_COLUMNS)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+    docs = (
+        src.filter(F.col("lang") == "en")
+        .select("url", "warc_ts", "html")
+        .mapInPandas(_extract_batches, schema=DOCS_SCHEMA)
+    )
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_index_deltas(
+    spark: SparkSession,
+    pages_dir: str,
+    store: IndexStore,
+    cfg: Optional[IndexConfig] = None,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Micro-batches of new pages -> posting delta segments in ``store``.
+
+    Requires a completed base build in ``store`` (corpus stats + dictionary
+    are reused for delta scoring).  Each batch appends
+    postings/delta=<epoch>_<bid> and attributes/delta=... parts.
+    """
+    cfg = cfg or IndexConfig()
+    from ..operators.chunk import chunk_docs
+    from ..operators.extract import extract_docs
+    from ..operators.index_build import (
+        attributes,
+        build_postings_for,
+        scored_tf,
+        tokenize_tf,
+        unified_corpus,
+    )
+
+    stats = store.read(spark, "corpus_stats")
+    tdict = store.read(spark, "term_dict")
+    base_docs = store.read(spark, "unified").groupBy("shard").agg(
+        F.max("local_id").alias("max_local")
+    )
+    epoch = int(time.time())
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = extract_docs(batch_df).withColumn(
+            "content_embedding", F.lit(None).cast("array<float>")
+        )
+        chunks = chunk_docs(docs).withColumn(
+            "chunk_embedding", F.lit(None).cast("array<float>")
+        )
+        u = unified_corpus(docs, chunks, cfg)
+        # shift local ids past the base segment's ids per shard so delta
+        # postings never collide with base postings
+        u = (
+            u.join(F.broadcast(base_docs), "shard", "left")
+            .withColumn(
+                "local_id",
+                F.col("local_id") + F.coalesce(F.col("max_local") + 1, F.lit(0)),
+            )
+            .drop("max_local")
+        )
+        part = f"delta={epoch}_{batch_id}"
+        tf = tokenize_tf(u, cfg)
+        stf = scored_tf(tf, tdict, stats, cfg)
+        blocks = build_postings_for(stf, tdict, cfg)
+        store.write(blocks, "postings", part=part, partition_by=["tbucket"])
+        store.write(attributes(u, cfg), "attributes_delta", part=part)
+        store.write(u, "unified_delta", part=part)
+        store.finish_part("stream_deltas", part, {"batch_id": batch_id})
+
+    src = (
+        spark.readStream.schema(PAGES_DDL_COLUMNS)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+    writer = src.writeStream.foreachBatch(process_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Event-time tumbling 1h window with late-data watermark -- streaming
+    twin of the gated batch query (__spark_entry__._q_events_hourly)."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # small triggers so the watermark advances across micro-batches
+        # (append mode emits a window only once the watermark passes it)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

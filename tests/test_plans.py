@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the properties the 100 TB design depends on
+must be visible in .explain("formatted") (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chavinha_mini_search_engine_spark.operators import bm25_df, similarity
+from chavinha_mini_search_engine_spark.plans.explain import (
+    assert_column_pruned,
+    count_codegen_spans,
+    formatted_plan,
+    has_broadcast_join,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_lang_filter_pushed_to_scan(spark, docs):
+    df = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    assert any(
+        "lang" in ln and ("EqualTo" in ln or "IsNotNull" in ln)
+        for ln in plan.splitlines() if "PushedFilters" in ln
+    ), plan
+
+
+def test_column_pruning_two_col_projection(spark, docs):
+    df = docs.select("doc_id", "n_chars")
+    assert_column_pruned(df, {"doc_id", "n_chars"})
+
+
+def test_tokenize_tf_prunes_to_text(spark, docs):
+    df = bm25_df.doc_terms(docs, "doc_id", "text")
+    # the scan must not read lang/source/n_chars
+    assert_column_pruned(df, {"doc_id", "text"})
+
+
+def test_bm25_plan_broadcasts_and_codegens(spark, docs):
+    df = bm25_df.bm25_topk_df(docs, "spark hash join table", 10)
+    assert has_broadcast_join(df), formatted_plan(df)
+    assert count_codegen_spans(df) >= 3, formatted_plan(df)
+    # top-k compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_cosine_topk_stays_jvm(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.first()["embedding"]
+    df = similarity.cosine_topk(emb, q, 10)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "cosine must not fall back to Python"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_postings_scan_prunes_by_tbucket(spark, tiny_pages, tmp_path_factory):
+    """Query-term postings reads must hit only the query's tbucket
+    partitions (PartitionFilters on the parquet scan)."""
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+    )
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    cfg = IndexConfig(num_doc_shards=4, shard_groups=2, heavy_term_df=1000,
+                      num_salts=2, term_buckets=8)
+    store = IndexStore(str(tmp_path_factory.mktemp("pl") / "i"), build_id="plans")
+    build_index(spark, spark.read.parquet(tiny_pages), store, cfg,
+                with_embeddings=False, verify_text_invariant=False)
+    post = store.read(spark, "postings", part="grp=0")
+    pruned = post.filter(F.col("tbucket").isin([1, 2]) & (F.col("term") == "python"))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert any(
+        "tbucket" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ), plan

@@ -19,27 +19,10 @@ from chavinha_mini_search_engine_spark.fixtures.queries import (
     EDGE_QUERIES,
     PERF_QUERIES,
 )
-from chavinha_mini_search_engine_spark.operators.index_build import (
-    IndexConfig,
-    build_index,
-)
 from chavinha_mini_search_engine_spark.operators.search import SearchEngine
 from chavinha_mini_search_engine_spark.oracle.scorer import OracleIndex
-from chavinha_mini_search_engine_spark.sources.tables import IndexStore
 
-CFG = IndexConfig(
-    num_doc_shards=8, shard_groups=4, heavy_term_df=40, num_salts=4,
-    term_buckets=16,
-)
-
-
-@pytest.fixture(scope="session")
-def built(spark, tiny_pages, tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("index") / "idx")
-    store = IndexStore(root, build_id="parity-build")
-    pages = spark.read.parquet(tiny_pages)
-    build_index(spark, pages, store, CFG)
-    return store
+from tests.parity_cfg import CFG  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,146 @@
+"""Structured Streaming operators (streaming/incremental.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chavinha_mini_search_engine_spark.fixtures.pages import generate_pages
+from chavinha_mini_search_engine_spark.streaming import incremental
+
+
+@pytest.fixture(scope="module")
+def pages_stream_dir(spark, tmp_path_factory):
+    """Pages written as multiple files (so the file source micro-batches)."""
+    d = str(tmp_path_factory.mktemp("stream") / "pages")
+    rows = generate_pages(60, include_edges=False)
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    df.repartition(6).write.parquet(d)
+    return d
+
+
+def test_stream_extract_equals_batch(spark, pages_stream_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sd") / "docs")
+    ckpt = str(tmp_path_factory.mktemp("sd") / "ckpt")
+    q = incremental.stream_pages_to_docs(spark, pages_stream_dir, out, ckpt)
+    q.awaitTermination(300)
+
+    from chavinha_mini_search_engine_spark.operators.extract import extract_docs
+
+    batch = extract_docs(spark.read.parquet(pages_stream_dir))
+    got = sorted(
+        (r["id"], r["title"], r["content"])
+        for r in spark.read.parquet(out).collect()
+    )
+    exp = sorted((r["id"], r["title"], r["content"]) for r in batch.collect())
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_stream_resume_is_incremental(spark, pages_stream_dir, tmp_path_factory):
+    """Restarting the stream with the same checkpoint reprocesses nothing."""
+    out = str(tmp_path_factory.mktemp("sr") / "docs")
+    ckpt = str(tmp_path_factory.mktemp("sr") / "ckpt")
+    incremental.stream_pages_to_docs(spark, pages_stream_dir, out, ckpt).awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    # restart: no new files -> no new rows
+    incremental.stream_pages_to_docs(spark, pages_stream_dir, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_events_hourly_watermark_semantics(spark, tmp_path_factory):
+    """Tumbling window + watermark: in-window late data is counted, data
+    older than the watermark is dropped, open windows stay pending.
+    Two sequential availableNow runs on one checkpoint give deterministic
+    batch order (the file source's intra-run file order is not guaranteed).
+    """
+    import datetime as dt
+
+    base = tmp_path_factory.mktemp("se")
+    src, out, ckpt = str(base / "events"), str(base / "agg"), str(base / "ckpt")
+
+    def ev_rows(specs):
+        d = dt.datetime(2025, 8, 1)
+        return [
+            (i, d.replace(hour=h, minute=m), 1, "click", 1.0, "{}")
+            for i, (h, m) in enumerate(specs)
+        ]
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    # run 1: 3 events in h10, 2 in h11 (max ts 11:30 -> watermark 10:30)
+    spark.createDataFrame(
+        ev_rows([(10, 5), (10, 20), (10, 40), (11, 0), (11, 30)]), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    incremental.stream_events_hourly(spark, src, out, ckpt, watermark="1 hour").awaitTermination(300)
+
+    # run 2: h13 events advance the watermark to 12:00; one late-but-in-
+    # watermark event (10:45) is counted, one too-late event (09:00) dropped
+    spark.createDataFrame(
+        ev_rows([(13, 0), (13, 10), (10, 45), (9, 0)]), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    incremental.stream_events_hourly(spark, src, out, ckpt, watermark="1 hour").awaitTermination(300)
+
+    got = {
+        str(r["hour"]): r["n"] for r in spark.read.parquet(out).collect()
+    }
+    assert got.get("2025-08-01 10:00:00") == 4, got   # 3 on-time + 1 late
+    assert got.get("2025-08-01 11:00:00") == 2, got
+    assert "2025-08-01 09:00:00" not in got, got      # dropped as too late
+    assert "2025-08-01 13:00:00" not in got, got      # still open (pending)
+
+
+@pytest.mark.slow
+def test_index_deltas_searchable(spark, tmp_path_factory):
+    """Base build + streamed delta segment: new docs become searchable."""
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+    )
+    from chavinha_mini_search_engine_spark.operators.search import SearchEngine
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    cfg = IndexConfig(num_doc_shards=4, shard_groups=2, heavy_term_df=1000,
+                      num_salts=2, term_buckets=8)
+    base_dir = str(tmp_path_factory.mktemp("base") / "pages")
+    rows = generate_pages(40, include_edges=False)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    spark.createDataFrame(rows[:30], schema).write.parquet(base_dir)
+
+    store = IndexStore(str(tmp_path_factory.mktemp("bidx") / "i"), build_id="sb")
+    build_index(spark, spark.read.parquet(base_dir), store, cfg,
+                with_embeddings=False, verify_text_invariant=False)
+
+    delta_dir = str(tmp_path_factory.mktemp("delta") / "pages")
+    spark.createDataFrame(rows[30:], schema).write.parquet(delta_dir)
+    q = incremental.stream_index_deltas(
+        spark, delta_dir, store, cfg,
+        checkpoint_dir=str(tmp_path_factory.mktemp("delta") / "ckpt"),
+    )
+    q.awaitTermination(600)
+
+    # delta parts exist and the union parses
+    parts = os.listdir(store.path("postings"))
+    assert any(p.startswith("delta=") for p in parts)
+    post = store.read_parts(spark, "postings")
+    assert post.filter(F.col("term") == "python").count() > 0
+
+    # a doc only present in the delta is retrievable end-to-end
+    import hashlib
+
+    from chavinha_mini_search_engine_spark.functions.tokenizer import tokenize_py
+
+    delta_en = [r for r in rows[30:] if r["lang"] == "en"]
+    target = delta_en[0]
+    target_id = hashlib.md5(target["url"].encode()).hexdigest()
+    # query with terms the BASE dictionary knows (delta postings inherit the
+    # base term_dict; brand-new terms enter at compaction -- documented)
+    terms = [t for t in tokenize_py(target["text"]) if len(t) > 4][:4]
+    assert terms, "delta doc must have tokens"
+    eng = SearchEngine(spark, store, cfg, cache=False)
+    res = eng.search(" ".join(terms), "bm25", 50)
+    ids = [r["id"] for r in res.collect()]
+    assert target_id in ids, f"delta doc {target_id} not retrieved"
