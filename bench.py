@@ -70,7 +70,9 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
 
         # --- BM25 query latency over the reference query set, warm ---
         eng = SearchEngine(spark, store, cfg)
-        eng.search("warmup query python", "bm25", 10).collect()
+        # warm JIT/codegen across the distinct plan shapes before timing
+        for wq in ("warmup query python", "docker kubernetes", "a"):
+            eng.search(wq, "bm25", 10).collect()
         lat = []
         for q in ALL_QUERIES:
             t = time.time()

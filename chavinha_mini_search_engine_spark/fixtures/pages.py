@@ -200,9 +200,16 @@ def pages_from_documents(docs_df, html_repeat: int = 1):
 
     para = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
     body = F.concat(*([para] * html_repeat)) if html_repeat > 1 else para
+    # spread urls over many synthetic domains: a single domain would trip
+    # the reference's 10k per-domain cap (A5) and silently truncate the
+    # corpus downstream of extraction
+    domain = F.concat(
+        F.lit("bench"), F.pmod(F.col("doc_id"), F.lit(4096)).cast("string"),
+        F.lit(".example.org"),
+    )
     return docs_df.select(
-        F.concat(F.lit("https://bench.example.org/doc/"), F.col("doc_id").cast("string"),
-                 F.lit(".html")).alias("url"),
+        F.concat(F.lit("https://"), domain, F.lit("/doc/"),
+                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
         F.to_timestamp(F.lit("2025-08-01 00:00:00")).alias("warc_ts"),
         F.encode(
             F.concat(

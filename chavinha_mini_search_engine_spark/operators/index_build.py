@@ -157,12 +157,19 @@ def _make_merge_runs(block_size: int):
 
 # ---------- build stages ----------
 
-def unified_corpus(docs: DataFrame, chunks: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Union full docs + chunks; assign (shard, local_id).
+def assign_layout(u: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Assign (shard, local_id): shard = hash(id), local_id dense per shard
+    ordered by id -- deterministic, so rebuilds, resumed builds and
+    compactions produce identical layouts."""
+    u = u.withColumn(
+        "shard", F.pmod(F.xxhash64("id"), F.lit(cfg.num_doc_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("id")
+    return u.withColumn("local_id", (F.row_number().over(w) - 1).cast("long"))
 
-    local_id is dense per shard, ordered by id -- deterministic, so
-    rebuilds and resumed builds produce identical layouts.
-    """
+
+def unified_corpus(docs: DataFrame, chunks: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Union full docs + chunks; assign (shard, local_id)."""
     d = docs.select(
         "id", "doc_type", F.lit(None).cast("string").alias("parent_id"),
         "url", "domain", "title", "content", "description",
@@ -176,12 +183,7 @@ def unified_corpus(docs: DataFrame, chunks: DataFrame, cfg: IndexConfig) -> Data
         "chunk_content", "parent_doc_type",
         F.col("chunk_embedding").alias("embedding"),
     )
-    u = d.unionByName(c)
-    u = u.withColumn(
-        "shard", F.pmod(F.xxhash64("id"), F.lit(cfg.num_doc_shards)).cast("int")
-    )
-    w = Window.partitionBy("shard").orderBy("id")
-    return u.withColumn("local_id", (F.row_number().over(w) - 1).cast("long"))
+    return assign_layout(d.unionByName(c), cfg)
 
 
 def tokenize_tf(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -381,11 +383,31 @@ def build_index(
 
     chunks = store.read(spark, "chunks")
 
+    _index_stages_from_unified(
+        spark, store, cfg,
+        make_unified=lambda: unified_corpus(docs, chunks, cfg),
+        collect_metrics=collect_metrics,
+    )
+
+    store.manifest["total_wall_sec"] = time.time() - t_all
+    store._write_manifest()
+    return store
+
+
+def _index_stages_from_unified(
+    spark: SparkSession,
+    store: IndexStore,
+    cfg: IndexConfig,
+    make_unified,
+    collect_metrics: bool = True,
+) -> None:
+    """unified -> stats -> postings -> attributes (shared by the full build
+    and by delta compaction)."""
     # stage: unified corpus with (shard, local_id)
     if not store.stage_done("unified"):
         store.begin_stage("unified")
         t = time.time()
-        u = unified_corpus(docs, chunks, cfg)
+        u = make_unified()
         # the window already hash-partitioned by shard; repartitioning on
         # shard keeps 1 task -> 1 partition dir (small-file + fork control)
         store.write(u.repartition(cfg.num_doc_shards, "shard"),
@@ -466,6 +488,44 @@ def build_index(
         )
         store.finish_stage("attributes", {"wall_sec": time.time() - t})
 
-    store.manifest["total_wall_sec"] = time.time() - t_all
-    store._write_manifest()
-    return store
+
+def compact(
+    spark: SparkSession,
+    base: IndexStore,
+    out: IndexStore,
+    cfg: Optional[IndexConfig] = None,
+    collect_metrics: bool = True,
+) -> IndexStore:
+    """Merge the base segment with all streamed delta segments into a fresh
+    consolidated index (the Lucene force-merge analog).
+
+    Corpus statistics, the term dictionary (including terms that only exist
+    in deltas) and all posting lists are recomputed from the union, so the
+    compacted index scores exactly like a from-scratch build over the same
+    corpus (tested in tests/test_streaming.py).  ``out`` is stage-
+    checkpointed like a normal build.  The document store tables
+    (docs/chunks) stay in the base store.
+    """
+    if cfg is None:
+        saved = base.manifest.get("index_config")
+        if saved:
+            saved = dict(saved)
+            saved["fields"] = tuple(saved.get("fields", ()))
+            cfg = IndexConfig(**saved)
+        else:
+            cfg = IndexConfig()
+    from dataclasses import asdict
+    cfg_dict = asdict(cfg)
+    cfg_dict["fields"] = list(cfg_dict["fields"])
+    out.manifest["index_config"] = cfg_dict
+    out.manifest["compacted_from"] = base.build_id
+    out._write_manifest()
+
+    def make_unified():
+        u = base.read(spark, "unified")
+        if base.exists("unified_delta"):
+            u = u.unionByName(base.read_parts(spark, "unified_delta"))
+        return assign_layout(u.drop("shard", "local_id"), cfg)
+
+    _index_stages_from_unified(spark, out, cfg, make_unified, collect_metrics)
+    return out

@@ -52,14 +52,20 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    reps = spark.range(replicate).select(F.col("id").alias("rep"))
-    big = docs.crossJoin(reps).select(
+    n_docs = docs.count()
+    # the replicated source must be parallel BEFORE the html-building
+    # projection: sf0.1 is one parquet file, and a 1-partition crossJoin
+    # would funnel every downstream stage through a single upstream task
+    reps = spark.range(replicate).repartition(cpus * 3).select(
+        F.col("id").alias("rep")
+    )
+    big = reps.join(F.broadcast(docs)).select(
         (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
         "lang", "source", "n_chars",
     )
     pages = pages_from_documents(big, html_repeat=HTML_REPEAT)
-    n_pages = pages.count()
+    n_pages = n_docs * replicate
     idx = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
     # shard_groups=1: one postings round (the checkpoint granularity knob
     # only adds serial rounds; scaling measures raw throughput)

@@ -144,3 +144,33 @@ def test_index_deltas_searchable(spark, tmp_path_factory):
     res = eng.search(" ".join(terms), "bm25", 50)
     ids = [r["id"] for r in res.collect()]
     assert target_id in ids, f"delta doc {target_id} not retrieved"
+
+    # --- compaction: base + deltas == from-scratch build over the union ---
+    from chavinha_mini_search_engine_spark.operators.index_build import compact
+
+    compacted = compact(
+        spark, store,
+        IndexStore(str(tmp_path_factory.mktemp("cmp") / "i"), build_id="cmp"),
+        cfg,
+    )
+    full_dir = str(tmp_path_factory.mktemp("full") / "pages")
+    spark.createDataFrame(rows, schema).write.parquet(full_dir)
+    full = IndexStore(str(tmp_path_factory.mktemp("fidx") / "i"), build_id="full")
+    build_index(spark, spark.read.parquet(full_dir), full, cfg,
+                with_embeddings=False, verify_text_invariant=False)
+
+    def table_rows(st, tbl, parts=False):
+        df = st.read_parts(spark, tbl) if parts else st.read(spark, tbl)
+        cols = sorted(c for c in df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect())
+
+    assert table_rows(compacted, "term_dict") == table_rows(full, "term_dict")
+    assert table_rows(compacted, "corpus_stats") == table_rows(full, "corpus_stats")
+    assert table_rows(compacted, "postings", parts=True) == table_rows(full, "postings", parts=True)
+
+    eng_c = SearchEngine(spark, compacted, cfg, cache=False)
+    eng_f = SearchEngine(spark, full, cfg, cache=False)
+    q = " ".join(terms)
+    got_c = [(r["id"], round(r["relevance"], 9)) for r in eng_c.search(q, "bm25", 20).collect()]
+    got_f = [(r["id"], round(r["relevance"], 9)) for r in eng_f.search(q, "bm25", 20).collect()]
+    assert got_c == got_f
