@@ -2,11 +2,12 @@
 
 ``entry(spark)`` -- flagship BM25 top-k over the documents table at
 sf0.001.  ``queries()`` -- one entry per implemented operator family from
-SURVEY.md §2 plus the training-data-pipeline ops; each has a DuckDB twin in
-``oracle_sql()`` unless the op is not SQL-expressible (python chunker,
-MinHash/SimHash whose hash functions are engine-defined, LSH ANN which is
-approximate by construction) -- those get rows-only checks here and full
-oracles in tests/.
+SURVEY.md §2 plus the training-data-pipeline ops; EVERY entry has a DuckDB
+twin in ``oracle_sql()``: the hash-based ops (MinHash, SimHash) use the md5
+hash family (bit-identical in Spark and DuckDB), the approximate ANN's
+multi-probe candidate set is reproduced exactly from the shared
+deterministic hyperplanes, and the python chunker's output is gated through
+a materialized parquet artifact both engines aggregate.
 
 All float outputs are rounded (6-9 dp) on BOTH sides so the driver's
 value-hash compares equal despite summation-order ulp noise.
@@ -112,14 +113,20 @@ def _q_dedup_exact(spark, sf):  # D-exact
 
 
 def _q_ngram_jaccard(spark, sf):  # D-jaccard (exact ground truth)
+    # max_bucket: the web-scale stop-shingle guard (a shingle shared by
+    # >1000 docs explodes the self-join quadratically).  At gate scale no
+    # bucket can exceed the corpus size (<1000 docs), so the output is
+    # still the exact quadratic ground truth the SQL oracle computes.
     return dedup.jaccard_pairs(
-        _docs(spark, sf).filter(F.col("lang") == "en"), n=3, threshold=0.12
+        _docs(spark, sf).filter(F.col("lang") == "en"), n=3, threshold=0.12,
+        max_bucket=1000,
     )
 
 
-def _q_minhash_lsh(spark, sf):  # D-minhash (rows-only; engine-defined hashes)
+def _q_minhash_lsh(spark, sf):  # D-minhash (md5 family: DuckDB-verifiable)
     return dedup.minhash_lsh_dedup(
-        _docs(spark, sf).filter(F.col("lang") == "en"), threshold=0.12
+        _docs(spark, sf).filter(F.col("lang") == "en"),
+        threshold=0.12, hash_family="md5",
     )
 
 
@@ -163,7 +170,15 @@ def _q_fingerprints(spark, sf):  # document fingerprinting
     return textstats.doc_fingerprints(_docs(spark, sf)).select("doc_id", "fingerprint")
 
 
-def _q_chunk_stats(spark, sf):  # C1+C2 (python chunker; rows-only)
+CHUNK_GATE_ARTIFACT = "/root/repo/.gate_artifacts/chunks_gate"
+
+
+def _q_chunk_stats(spark, sf):  # C1+C2 (python chunker)
+    # The chunker is a pinned-python kernel SQL cannot express, so the gate
+    # works on its MATERIALIZED output: write the engine's chunk rows to a
+    # parquet artifact, aggregate the read-back rows here, and let the
+    # DuckDB oracle aggregate the same artifact -- a real side-by-side
+    # check of the aggregation over identical chunker output.
     from chavinha_mini_search_engine_spark.operators.chunk import chunk_docs
 
     docs = _docs(spark, sf).select(
@@ -173,7 +188,10 @@ def _q_chunk_stats(spark, sf):  # C1+C2 (python chunker; rows-only)
         F.lit(None).cast("timestamp").alias("crawled_at"),
     )
     ch = chunk_docs(docs)
-    return ch.agg(
+    ch.select("id", "chunk_index", "chunk_size").write.mode("overwrite").parquet(
+        CHUNK_GATE_ARTIFACT
+    )
+    return spark.read.parquet(CHUNK_GATE_ARTIFACT).agg(
         F.count(F.lit(1)).alias("count"),
         F.sum("chunk_size").alias("total_size"),
         F.round(F.avg("chunk_size"), 6).alias("avg_size"),
@@ -328,6 +346,133 @@ _LANGID_SQL = (
 )
 
 
+# MinHash-LSH twin (md5 hash family, operators/dedup.py minhash_* with
+# hash_family="md5"): 64 permutations = min(md5('i|' || shingle)) as
+# fixed-width hex strings; 16 bands x 4 rows; candidates verified with
+# exact Jaccard.  md5 is bit-identical in Spark and DuckDB, so this is a
+# full end-to-end oracle for the LSH pipeline.
+_MINHASH_NUM_PERM = 64
+_MINHASH_BANDS = 16
+
+
+def _minhash_sql(threshold: float = 0.12) -> str:
+    rows = _MINHASH_NUM_PERM // _MINHASH_BANDS
+    mins = ", ".join(
+        f"min(md5('{i}|' || s)) AS m{i}" for i in range(_MINHASH_NUM_PERM)
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT id, {b} AS band, md5({cat}) AS bk FROM sig".format(
+            b=bi,
+            cat=" || ".join(f"m{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE lang = 'en')
+  WHERE len(toks) >= 3
+),
+ex AS (SELECT id, unnest(sh) AS s FROM sh),
+sig AS (SELECT id, {mins} FROM ex GROUP BY id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.id < y.id
+),
+paired AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+  FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b
+)
+SELECT a, b, round(j, 6) AS jaccard FROM paired WHERE j >= {threshold}
+"""
+
+
+# SimHash twin (operators/dedup.py simhash64 + simhash_neardup_pairs):
+# token hash = first 8 md5 bytes big-endian == UBIGINT('0x' || first 16 hex
+# chars); tf-weighted bit votes; 4 x 16-bit banding; exact hamming verify.
+_SIMHASH_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+th AS (
+  SELECT doc_id, tf,
+         CAST('0x' || substr(md5(term), 1, 16) AS UBIGINT) AS h
+  FROM tf
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th, range(64) AS r(b)
+  GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INTEGER) AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id AS id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+),
+bands AS (
+  SELECT id, band, (sig >> CAST(band * 16 AS INTEGER)) & 65535 AS key
+  FROM sig, range(4) AS rb(band)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.id < y.id
+)
+SELECT c.a, c.b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+"""
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, probe_radius: int = 2,
+                 k: int = 10, seed: int = 42) -> str:
+    """LSH-ANN twin (operators/similarity.py lsh_bucketed_topk): the same
+    deterministic hyperplanes as SQL literals; a row is a candidate iff its
+    sign-bit bucket is within ``probe_radius`` hamming of the query's
+    bucket (== the multi-probe set); exact cosine over candidates only."""
+    from chavinha_mini_search_engine_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot(vec_expr: str, plane) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, {lit}), "
+            "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        )
+
+    def bucket(vec_expr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(vec_expr, p)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket('qe')} AS qsig FROM q),
+b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bkt FROM embeddings),
+cand AS (
+  SELECT b.vec_id, b.embedding FROM b, qb
+  WHERE bit_count(xor(b.bkt, qb.qsig)) <= {probe_radius}
+)
+SELECT c.vec_id, round({_COS64.format(a='c.embedding', b='q.qe')}, 6) AS cosine
+FROM cand c, q
+ORDER BY cosine DESC, c.vec_id ASC LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"WITH {_DT} SELECT doc_id, term, tf, dl FROM dt",
@@ -346,7 +491,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "source_count": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
         "lang_count": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            # DuckDB's sum(BIGINT) widens to HUGEINT; cast back so the
+            # driver's value-hash sees the same type Spark emits (BIGINT)
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
         ),
         "per_source_cap": """
@@ -363,10 +511,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
-        # minhash_lsh_dedup / simhash_neardup / ann_lsh_topk / chunk_stats:
-        # intentionally no SQL oracle (engine-defined hash functions /
-        # approximate / python kernel) -> driver rows-only check; exact
-        # oracles live in tests/test_pipeline_ops.py.
+        "minhash_lsh_dedup": _minhash_sql(threshold=0.12),
+        "simhash_neardup": _SIMHASH_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "chunk_stats": (
+            # the python chunker's materialized output (written by the
+            # paired Spark query) aggregated by DuckDB
+            "SELECT count(*) AS count, "
+            "CAST(sum(chunk_size) AS BIGINT) AS total_size, "
+            "round(avg(chunk_size), 6) AS avg_size, "
+            "min(chunk_size) AS min_size, max(chunk_size) AS max_size "
+            f"FROM read_parquet('{CHUNK_GATE_ARTIFACT}/*.parquet')"
+        ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round("

@@ -44,6 +44,7 @@ class SearchResponse:
     search_time_ms: float
     search_type: str
     embedding_time_ms: Optional[float] = None
+    performance_mode: str = "ultra"  # echoed back (api/main.py:552)
 
 
 @dataclass
@@ -65,10 +66,13 @@ class SearchAPI:
         self.store = store
 
     def search(self, q: str, search_type: str = "hybrid",
-               limit: int = DEFAULT_LIMIT) -> SearchResponse:
+               limit: int = DEFAULT_LIMIT,
+               performance_mode: str = "ultra") -> SearchResponse:
         """Mirrors GET /api/search validation (api/main.py:551-564):
         empty q -> 400-equivalent ValueError; search_type whitelist;
-        limit in [1, 50]."""
+        limit in [1, 50]; performance_mode normal|ultra (api/main.py:552,
+        a rank-profile-tuning switch in Vespa -- identical first-phase
+        expressions, doc.sd:214-256 -- so it does not alter ranking)."""
         if not q or not q.strip():
             raise ValueError("Query cannot be empty")
         if search_type not in SEARCH_TYPES:
@@ -78,7 +82,10 @@ class SearchAPI:
         if not 1 <= limit <= MAX_LIMIT:
             raise ValueError(f"limit must be between 1 and {MAX_LIMIT}")
         t0 = time()
-        rows = self.engine.search(q, search_type, limit).orderBy("rank").collect()
+        rows = (
+            self.engine.search(q, search_type, limit, performance_mode)
+            .orderBy("rank").collect()
+        )
         ms = (time() - t0) * 1000.0
         results = [
             SearchResult(
@@ -90,13 +97,23 @@ class SearchAPI:
         return SearchResponse(
             query=q, results=results, total_hits=len(results),
             search_time_ms=ms, search_type=search_type,
+            performance_mode=performance_mode,
         )
 
     def stats(self, max_domains: int = 1000) -> StatsResponse:
         """Mirrors GET /api/stats: total full-doc count (A2) + per-domain
         counts capped at 1000 groups sorted desc (A1, api/main.py:609-655);
-        fallback total = sum of domain counts (A3)."""
-        docs = self.store.read(self.spark, "docs")
+        fallback total = sum of domain counts (A3).
+
+        A compacted store (operators/index_build.compact) carries no docs
+        table -- the document store stays with the base segment -- so fall
+        back to the full_doc rows of the compacted unified corpus."""
+        if self.store.exists("docs"):
+            docs = self.store.read(self.spark, "docs")
+        else:
+            docs = self.store.read(self.spark, "unified").filter(
+                F.col("doc_type") == "full_doc"
+            )
         per_domain = (
             docs.groupBy("domain").agg(F.count(F.lit(1)).alias("document_count"))
             .orderBy(F.desc("document_count"), F.asc("domain"))

@@ -87,3 +87,10 @@ class IndexConfig:
     fields: tuple = INDEXED_FIELDS
     field_weights: dict = field(default_factory=lambda: dict(BM25_FULL_WEIGHTS))
     embedding_dim: int = EMBEDDING_DIM
+    # semantic-LSH serve path: attributes carry a precomputed
+    # random-hyperplane sign bucket over the stored embedding, so
+    # semantic_mode="lsh" prunes candidates instead of brute-force scanning
+    # every chunk (operators/similarity.py docstring promise)
+    sem_lsh_planes: int = 8
+    sem_lsh_seed: int = 42
+    sem_lsh_probe_radius: int = 2

@@ -110,25 +110,44 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 64,
     n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<bigint>) MinHash signatures.
+    """(id, sig: array<bigint|string>) MinHash signatures.
 
     Shape matters at scale: shingles are hashed ONCE (explode -> xxhash64),
     then the num_perm permutations are ``min(xxhash64(h, i))`` aggregates
     over the 64-bit shingle hash -- a single hash aggregate with map-side
     partial aggregation, instead of num_perm re-evaluations of the shingle
     expression (which Catalyst's ProjectCollapse would otherwise inline).
+
+    ``hash_family``:
+    - "xxhash64" (default): seeded 64-bit JVM hashes -- the web-scale path;
+    - "md5": permutation i value = min(md5(concat(i, '|', shingle))) as a
+      fixed-width lowercase-hex string (lexicographic min == numeric min of
+      the 128-bit value).  Same algorithm, but md5 is bit-identical in
+      Spark and DuckDB, so the full pipeline is verifiable by the driver's
+      SQL oracle (__spark_entry__.oracle_sql).
     """
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("h"),
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
-        for i in range(num_perm)
-    ]
+    if hash_family == "md5":
+        ex = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+        )
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"_m{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        ex = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias("h"),
+        )
+        aggs = [
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_perm)
+        ]
     wide = ex.groupBy("id").agg(*aggs)
     return wide.select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
@@ -142,16 +161,22 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: same band-hash in any of ``bands`` bands
     (rows = num_perm/bands).  Returns distinct (a, b) with a < b."""
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]).alias("h"),
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n, hash_family)
+    if hash_family == "md5":
+        band_hash = lambda bi: F.md5(  # noqa: E731
+            F.concat(*[F.element_at("sig", bi * rows + r + 1) for r in range(rows)])
         )
+    else:
+        band_hash = lambda bi: F.xxhash64(  # noqa: E731
+            *[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
+        )
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"), band_hash(bi).alias("h"))
         for bi in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bh")).select(
@@ -179,10 +204,11 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (computed only for
     candidate pairs -- the web-scale pattern: candidates << all pairs)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n)
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n, hash_family)
     sh = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     )
@@ -203,28 +229,47 @@ def minhash_lsh_dedup(
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over normative tokens (vectorized numpy kernel).
 
-    Token hash = first 8 bytes of md5 (stable everywhere); bit votes
-    weighted by tf."""
+    Token hash = first 8 bytes of md5, big-endian (stable everywhere; the
+    DuckDB oracle reproduces it as UBIGINT('0x' || md5(token)[:16])); bit
+    votes weighted by tf.
+
+    Batch-vectorized: each distinct token in the Arrow batch is md5-hashed
+    ONCE and its +-1 bit matrix built once; per row only the (uniq-index,
+    count) gather and the vote sum remain.  On web corpora (zipf vocab) the
+    shared vocabulary makes hashing cost ~O(batch vocab), not O(tokens).
+    """
     import hashlib
 
     from ..functions.tokenizer import tokenize_py
 
+    toks_per_row = [tokenize_py(t or "") for t in texts]
+    vocab: dict = {}
+    for toks in toks_per_row:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
     out = np.zeros(len(texts), dtype=np.int64)
-    for row, t in enumerate(texts):
-        toks = tokenize_py(t or "")
-        if not toks:
-            continue
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    if vocab:
         hs = np.array(
-            [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") for u in uniq],
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in vocab
+            ],
             dtype=np.uint64,
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        out[row] = np.int64(sig)
+        # (V, 64) matrix of +-1 bit votes per vocab token
+        pm1 = (
+            ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            .astype(np.int64) * 2 - 1
+        )
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for row, toks in enumerate(toks_per_row):
+            if not toks:
+                continue
+            idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+            uniq, counts = np.unique(idx, return_counts=True)
+            votes = (pm1[uniq] * counts[:, None]).sum(axis=0)
+            out[row] = weights[votes > 0].sum(dtype=np.uint64).astype(np.int64)
     return pd.Series(out)
 
 
@@ -233,7 +278,15 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found by
     banding the 64-bit signature into 4 x 16-bit keys (a pair within
-    hamming<=3 must agree on at least one band) then verifying exactly."""
+    hamming<=3 must agree on at least one band) then verifying exactly.
+
+    The 4-band split is only complete (pigeonhole) for max_hamming <= 3;
+    a larger radius would silently miss pairs, so it is rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            "max_hamming > 3 breaks the 4x16-bit banding completeness "
+            "guarantee (pigeonhole needs bands > max_hamming)"
+        )
     sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
     bands = sig.select(
         "id", "sig",

@@ -160,10 +160,20 @@ def _make_merge_runs(block_size: int):
 def assign_layout(u: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Assign (shard, local_id): shard = hash(id), local_id dense per shard
     ordered by id -- deterministic, so rebuilds, resumed builds and
-    compactions produce identical layouts."""
+    compactions produce identical layouts.
+
+    Shuffle discipline: the wide corpus rows (content, chunk_content,
+    embedding) cross exactly ONE exchange.  The explicit
+    ``repartition(num_doc_shards, shard)`` here already satisfies both the
+    window's required distribution (clustered by shard) and the final
+    partitioned write's geometry, so Catalyst inserts no further exchange
+    -- round 1 shipped the wide rows through two (window + pre-write
+    repartition), which was the measured scaling bottleneck
+    (BENCH_SCALING.md, 525 s at 3.84M pages / local[4])."""
     u = u.withColumn(
         "shard", F.pmod(F.xxhash64("id"), F.lit(cfg.num_doc_shards)).cast("int")
     )
+    u = u.repartition(cfg.num_doc_shards, "shard")
     w = Window.partitionBy("shard").orderBy("id")
     return u.withColumn("local_id", (F.row_number().over(w) - 1).cast("long"))
 
@@ -291,19 +301,37 @@ def build_postings_for(
 ATTR_SCHEMA_COLS = [
     "shard", "local_id", "id", "doc_type", "parent_id", "parent_doc_type",
     "len_title", "len_content", "len_description", "len_chunk_content",
-    "embedding",
+    "embedding", "sem_bucket",
 ]
 
 
 def attributes(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Per-doc serve-side attributes: lengths per field + embedding.
+    """Per-doc serve-side attributes: lengths per field + embedding +
+    precomputed semantic-LSH bucket.
 
     The Vespa-attribute analog (doc.sd `attribute` fields): everything the
     scorer needs at query time without touching the document store.
+    ``sem_bucket`` (sign bits of the embedding against deterministic
+    hyperplanes) is the HNSW-analog access path: semantic_mode="lsh"
+    prunes candidates to the query's probed buckets.  Null embedding
+    (with_embeddings=False builds, streamed deltas) -> null bucket, i.e.
+    such docs are only reachable via exact semantic mode or after
+    compaction re-embeds them.
     """
+    from .similarity import _bucket_expr, _hyperplanes
+
     u = unified
     for f in cfg.fields:
         u = u.withColumn(f"len_{f}", F.size(tokens_col(f)))
+    planes = _hyperplanes(cfg.embedding_dim, cfg.sem_lsh_planes, cfg.sem_lsh_seed)
+    u = u.withColumn(
+        "sem_bucket",
+        F.when(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == cfg.embedding_dim),
+            _bucket_expr(F.col("embedding"), planes),
+        ),
+    )
     return u.select(*ATTR_SCHEMA_COLS)
 
 
@@ -408,10 +436,10 @@ def _index_stages_from_unified(
         store.begin_stage("unified")
         t = time.time()
         u = make_unified()
-        # the window already hash-partitioned by shard; repartitioning on
-        # shard keeps 1 task -> 1 partition dir (small-file + fork control)
-        store.write(u.repartition(cfg.num_doc_shards, "shard"),
-                    "unified", partition_by=["shard"])
+        # assign_layout already hash-partitioned by shard at write geometry
+        # (1 task -> 1 partition dir: small-file + fork control); a second
+        # repartition here would shuffle the wide rows again
+        store.write(u, "unified", partition_by=["shard"])
         store.finish_stage("unified", {"wall_sec": time.time() - t})
 
     unified = store.read(spark, "unified")

@@ -155,18 +155,25 @@ def _bm25_shard_kernel(
 
         def _closeness(idxs_):
             """Vespa closeness(angular) = 1/(1+arccos(cos)); docs without a
-            stored embedding (index built with_embeddings=False) score as a
-            zero vector (cos=0)."""
+            stored embedding (index built with_embeddings=False, streamed
+            delta segments) score 0.0 -- the normative choice, matching
+            oracle/scorer.py so hybrid over deltas cannot hand every
+            embedding-less doc a constant ~0.19 bonus."""
             if not len(idxs_):
-                return np.zeros(0)
+                return np.zeros(0), np.zeros(0, dtype=bool)
             dim = len(query_vec)
             vals = attr["embedding"].values[idxs_]
+            has = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
             emb = np.stack([
-                v if v is not None and len(v) == dim else np.zeros(dim, dtype=np.float32)
-                for v in vals
+                v if ok else np.zeros(dim, dtype=np.float32)
+                for v, ok in zip(vals, has)
             ]).astype(np.float64)
             sims = np.clip(emb @ query_vec.astype(np.float64), -1.0, 1.0)
-            return 1.0 / (1.0 + np.arccos(sims))
+            cl = 1.0 / (1.0 + np.arccos(sims))
+            cl[~has] = 0.0
+            return cl, has
 
         if mode == "bm25":
             sel = touched & is_full if full_only else touched
@@ -175,10 +182,12 @@ def _bm25_shard_kernel(
         elif mode == "hybrid":
             idxs = np.flatnonzero(touched)
             sig = 1.0 / (1.0 + np.exp(-acc[idxs] / HYBRID_SIGMOID_SCALE))
-            scores = HYBRID_BM25_WEIGHT * sig + HYBRID_SEM_WEIGHT * _closeness(idxs)
-        else:  # semantic: all chunk docs, closeness only
+            cl, _ = _closeness(idxs)
+            scores = HYBRID_BM25_WEIGHT * sig + HYBRID_SEM_WEIGHT * cl
+        else:  # semantic: chunk docs WITH a stored embedding (scorer.py:144)
             idxs = np.flatnonzero(~is_full)
-            scores = _closeness(idxs)
+            scores, has = _closeness(idxs)
+            idxs, scores = idxs[has], scores[has]
 
         if len(idxs) == 0:
             return empty
@@ -254,6 +263,32 @@ class SearchEngine:
         )
         return {(r["field"], r["term"]): (float(r["idf"]), int(r["df"])) for r in rows}
 
+    def _semantic_probes(self, qvec: np.ndarray) -> List[int]:
+        """Multi-probe bucket set for the query embedding: its own
+        hyperplane sign bucket plus every bucket within
+        cfg.sem_lsh_probe_radius hamming bits -- computed driver-side with
+        the same deterministic planes the build wrote into
+        attributes.sem_bucket (no Spark job)."""
+        from itertools import combinations
+
+        from .similarity import _hyperplanes
+
+        planes = _hyperplanes(
+            self.cfg.embedding_dim, self.cfg.sem_lsh_planes, self.cfg.sem_lsh_seed
+        )
+        q = np.asarray(qvec, dtype=np.float64)
+        qsig = sum(
+            (1 << i) for i, p in enumerate(planes) if float(np.dot(p, q)) > 0
+        )
+        probes: List[int] = []
+        for r in range(self.cfg.sem_lsh_probe_radius + 1):
+            for bits in combinations(range(self.cfg.sem_lsh_planes), r):
+                m = qsig
+                for b in bits:
+                    m ^= 1 << b
+                probes.append(m)
+        return probes
+
     def _tbuckets(self, terms: List[str]) -> List[int]:
         """tbucket per term, computed driver-side with the pure-Python
         XXH64 twin of the JVM expression (bit-identical, tests/test_xxhash
@@ -263,14 +298,27 @@ class SearchEngine:
         return sorted({spark_pmod_bucket(t, self.cfg.term_buckets) for t in terms})
 
     def search(self, query: str, search_type: str = "bm25",
-               k: int = DEFAULT_LIMIT) -> DataFrame:
+               k: int = DEFAULT_LIMIT, performance_mode: str = "ultra",
+               semantic_mode: str = "exact") -> DataFrame:
         """Returns DataFrame(rank, id, url, title, snippet, domain,
         relevance, doc_type) -- the SearchResult projection
-        (api/main.py:509-517)."""
+        (api/main.py:509-517).
+
+        ``performance_mode`` mirrors api/main.py:352-353,552: "ultra"
+        selects the ``*_ultra`` rank profiles.  Those profiles share their
+        first-phase scoring expression with the normal ones (doc.sd:214-256
+        -- only termwise-limit / num-threads-per-search tuning differs), so
+        the mode is accepted for parameter parity and does not change
+        ranking here; Spark's analog of that tuning is executor/task
+        parallelism, owned by the session config."""
         if not 1 <= k <= MAX_LIMIT:
             raise ValueError(f"limit must be in [1, {MAX_LIMIT}]")
         if search_type not in ("bm25", "semantic", "hybrid"):
             raise ValueError(f"invalid search_type {search_type}")
+        if performance_mode not in ("normal", "ultra"):
+            raise ValueError(f"invalid performance_mode {performance_mode}")
+        if semantic_mode not in ("exact", "lsh"):
+            raise ValueError(f"invalid semantic_mode {semantic_mode}")
 
         terms = _query_terms(query)
         fields = (
@@ -303,9 +351,19 @@ class SearchEngine:
                      "parent_doc_type"] + [f"len_{f}" for f in INDEXED_FIELDS]
         if search_type in ("semantic", "hybrid"):
             attr_cols.append("embedding")
-        attrs = self._attrs.select(*attr_cols)
+        attrs = self._attrs
         if search_type == "semantic":
             attrs = attrs.filter(F.col("doc_type") == "chunk")
+            if semantic_mode == "lsh":
+                # HNSW-analog pruning: restrict candidates to chunks whose
+                # build-time hyperplane bucket is within probe_radius
+                # hamming bits of the query's bucket (multi-probe).
+                # Approximate by construction; recall is asserted in
+                # tests/test_pipeline_ops.py.
+                attrs = attrs.filter(
+                    F.col("sem_bucket").isin(self._semantic_probes(qvec))
+                )
+        attrs = attrs.select(*attr_cols)
 
         if search_type == "semantic":
             # no posting involvement: empty left side of the cogroup
@@ -338,6 +396,25 @@ class SearchEngine:
         )
         return self._enrich(topk, terms, search_type, k)
 
+    def _enrich_scan(self, hit_ids: List[str]) -> DataFrame:
+        """Fetch the <=k hit rows from the doc store.  unified is
+        partitioned by shard = pmod(xxhash64(id), num_doc_shards), which is
+        derivable driver-side from the hit ids (bit-identical python twin,
+        tests/test_xxhash.py) -- so the fetch prunes to the hits' shard
+        partitions (PartitionFilters, asserted in tests/test_plans.py)
+        instead of scanning the widest table."""
+        from ..functions.xxhash import spark_pmod_bucket
+
+        hit_shards = sorted(
+            {spark_pmod_bucket(i, self.cfg.num_doc_shards) for i in hit_ids}
+        )
+        return (
+            self._unified.filter(
+                F.col("shard").isin(hit_shards) & F.col("id").isin(hit_ids)
+            )
+            .select("id", "url", "domain", "title", "content", "chunk_content")
+        )
+
     # --- enrichment (J5, P11, P16, P17, O7) ---
     def _enrich(self, topk: DataFrame, terms: List[str], search_type: str,
                 k: int) -> DataFrame:
@@ -345,11 +422,7 @@ class SearchEngine:
         if not hits:
             return self._empty_result()
         hit_ids = [r["id"] for r in hits]
-        rows = (
-            self._unified.filter(F.col("id").isin(hit_ids))
-            .select("id", "url", "domain", "title", "content", "chunk_content")
-            .collect()
-        )
+        rows = self._enrich_scan(hit_ids).collect()
         meta = {r["id"]: r for r in rows}
         out = []
         order = sorted(hits, key=lambda r: (-r["score"], r["id"]))

@@ -2,7 +2,9 @@
 
 - ``cosine_topk``: exact brute-force top-k -- the correctness baseline,
   entirely JVM-side (zip_with + aggregate, no Python);
-- ``cosine_neardup_pairs``: exact pairwise cosine >= t (a < b);
+- ``cosine_neardup_pairs``: banded near-dup pairs (hyperplane buckets +
+  multi-probe candidates, exact cosine verify -- the scale path);
+- ``cosine_neardup_pairs_exact``: all-pairs oracle for the banded form;
 - ``lsh_bucketed_topk``: the scale path -- random-hyperplane LSH buckets
   (deterministic seeded planes), probe the query bucket plus all
   hamming-1 neighbor buckets, exact-score only the probed candidates.
@@ -58,10 +60,13 @@ def cosine_topk(
     )
 
 
-def cosine_neardup_pairs(
+def cosine_neardup_pairs_exact(
     emb: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
+    """ALL-PAIRS exact cosine >= t: O(n^2) -- the correctness oracle the
+    banded default is tested against (tests/test_pipeline_ops.py), never
+    the path to run at corpus scale."""
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     pairs = e.alias("x").join(e.alias("y"), F.col("x.id") < F.col("y.id"))
     vx = F.transform(F.col("x.v"), lambda t: t.cast("double"))
@@ -75,6 +80,68 @@ def cosine_neardup_pairs(
             F.col("x.id").alias("a"), F.col("y.id").alias("b"),
             F.round(cos, 6).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, max_hamming: int = 2, seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= t -- banded (the scale path).
+
+    Same pattern as MinHash-LSH (dedup.py): random-hyperplane sign buckets
+    generate candidates (a pair is a candidate iff their buckets differ in
+    <= max_hamming plane bits, via multi-probe explosion of the NARROW
+    (id, bucket) projection -- vectors are never duplicated across probes),
+    then ONLY candidates get the exact cosine verification.  Shuffled
+    volume is |probes| * n narrow rows + the candidate joins, not n^2 wide
+    rows.
+
+    Approximate by construction: a pair at angle theta survives with
+    P[Binom(n_planes, theta/pi) <= max_hamming]; near-duplicates
+    (cosine -> 1, theta -> 0) are found with probability -> 1.  Recall vs
+    the exact oracle is asserted in tests/test_pipeline_ops.py.
+    """
+    from itertools import combinations
+
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim = len(e.select("v").first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    narrow = e.select("id", _bucket_expr(F.col("v"), planes).alias("_bkt"))
+    masks = [
+        sum(1 << b for b in bits)
+        for r in range(max_hamming + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+    # each (a, b) candidate matches on exactly one mask (the xor of their
+    # buckets), so no distinct is needed after the join
+    probes = narrow.select(
+        "id",
+        F.explode(
+            F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_pb"),
+    )
+    cand = (
+        probes.alias("x")
+        .join(
+            narrow.alias("y"),
+            (F.col("x._pb") == F.col("y._bkt")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+    )
+    va = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    j = cand.join(va, "a").join(vb, "b")
+    vx = F.transform(F.col("va"), lambda t: t.cast("double"))
+    vy = F.transform(F.col("vb"), lambda t: t.cast("double"))
+    cos = _dot(vx, vy) / (
+        F.when(_norm(vx) == 0, F.lit(1.0)).otherwise(_norm(vx))
+        * F.when(_norm(vy) == 0, F.lit(1.0)).otherwise(_norm(vy))
+    )
+    return (
+        j.select("a", "b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

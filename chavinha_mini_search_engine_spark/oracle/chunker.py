@@ -15,7 +15,8 @@ Re-implements the algorithm of the reference chunker
 - final chunk = remainder; chunks with stripped length < 100 dropped
   (chunker.py:74);
 - chunk id = f"{parent_id}_chunk_{index:03d}" (chunker.py:177); the index
-  counts *kept* chunks (enumerate over the filtered list, chunker.py:72-76);
+  enumerates all split chunks BEFORE the min-size filter, so dropped
+  chunks leave gaps in the id sequence (chunker.py:72-76);
 - chunk_content is stripped; chunk_size = len(stripped)
   (chunker.py:186,190).
 """

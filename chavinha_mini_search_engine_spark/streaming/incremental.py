@@ -91,10 +91,22 @@ def stream_index_deltas(
 
     stats = store.read(spark, "corpus_stats")
     tdict = store.read(spark, "term_dict")
-    base_docs = store.read(spark, "unified").groupBy("shard").agg(
-        F.max("local_id").alias("max_local")
-    )
     epoch = int(time.time())
+
+    def _current_offsets() -> DataFrame:
+        """Per-shard max local_id across base + ALL existing delta segments.
+
+        Recomputed per micro-batch (and so per stream restart): a batch's
+        local_id range must start past every previously written segment,
+        or two deltas would alias the same (shard, local_id) and the serve
+        kernel -- which indexes its accumulator positionally -- would
+        conflate distinct documents."""
+        seen = store.read(spark, "unified").select("shard", "local_id")
+        if store.exists("unified_delta"):
+            seen = seen.unionByName(
+                store.read_parts(spark, "unified_delta").select("shard", "local_id")
+            )
+        return seen.groupBy("shard").agg(F.max("local_id").alias("max_local"))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -106,10 +118,10 @@ def stream_index_deltas(
             "chunk_embedding", F.lit(None).cast("array<float>")
         )
         u = unified_corpus(docs, chunks, cfg)
-        # shift local ids past the base segment's ids per shard so delta
-        # postings never collide with base postings
+        # shift local ids past every already-written segment's ids per shard
+        # so delta postings never collide with base or earlier-delta postings
         u = (
-            u.join(F.broadcast(base_docs), "shard", "left")
+            u.join(F.broadcast(_current_offsets()), "shard", "left")
             .withColumn(
                 "local_id",
                 F.col("local_id") + F.coalesce(F.col("max_local") + 1, F.lit(0)),

@@ -31,6 +31,22 @@ def test_search_validation(api):
         api.search("x", "bm25", 0)         # :562 limit bounds
     with pytest.raises(ValueError):
         api.search("x", "bm25", 51)
+    with pytest.raises(ValueError):
+        api.search("x", "bm25", 5, performance_mode="turbo")
+
+
+def test_performance_mode_accepted_and_ranking_invariant(api):
+    """api/main.py:352-353,552: the mode switches Vespa's *_ultra profiles,
+    whose first-phase expressions are identical (doc.sd:214-256) -- so it
+    must be accepted, echoed, and leave ranking unchanged."""
+    q = "python async programming"
+    ultra = api.search(q, "bm25", 5, performance_mode="ultra")
+    normal = api.search(q, "bm25", 5, performance_mode="normal")
+    assert ultra.performance_mode == "ultra"
+    assert normal.performance_mode == "normal"
+    assert [(r.id, r.relevance) for r in ultra.results] == [
+        (r.id, r.relevance) for r in normal.results
+    ]
 
 
 def test_hybrid_dedups_parents(api):

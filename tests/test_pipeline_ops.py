@@ -94,6 +94,13 @@ def test_simhash_banding_complete(dup_docs):
     assert len(brute) >= 5  # exact dups have hamming 0
 
 
+def test_simhash_rejects_radius_beyond_banding(dup_docs):
+    """max_hamming > 3 would silently lose pairs (pigeonhole needs
+    bands > max_hamming), so it must be rejected."""
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(dup_docs, max_hamming=4)
+
+
 def test_cosine_topk_and_lsh_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -103,6 +110,56 @@ def test_cosine_topk_and_lsh_recall(spark):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.3, f"ANN recall@10 {recall}"
     assert approx[0] == 0
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    """On data where ANN is well-posed (tight clusters, neighbor cosine
+    >> background) the LSH path must achieve high recall.  The sf*
+    embeddings fixtures are uniform random vectors -- the
+    information-theoretic worst case for ANY bucketing ANN (top-10 cosines
+    ~0.3, no locality to hash), which is why the threshold on those is low
+    (test_cosine_topk_and_lsh_recall)."""
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((10, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = []
+    for i in range(500):
+        # noise norm ~0.05*sqrt(64)=0.4 vs unit centroid: intra-cluster
+        # cosine ~0.86 -- a realistic "near neighbors exist" regime
+        v = cents[i % 10] + 0.05 * rng.standard_normal(64)
+        vecs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    recalls = []
+    for qid in (0, 1, 2, 3):
+        qvec = vecs[qid][1]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(emb, qvec, 10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in similarity.lsh_bucketed_topk(
+                emb, qvec, 10, n_planes=8, probe_radius=3
+            ).collect()
+        ]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"clustered-data ANN recall {recalls}"
+
+
+def test_cosine_neardup_banded_matches_exact(spark):
+    """The banded default (hyperplane buckets + multi-probe + exact verify)
+    must reproduce the all-pairs oracle on the gate corpora -- this is the
+    same equivalence the driver's SQL oracle checks."""
+    for sf in ("sf0.001", "sf0.01"):
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        exact = {
+            (r["a"], r["b"], r["cosine"])
+            for r in similarity.cosine_neardup_pairs_exact(emb, 0.5).collect()
+        }
+        banded = {
+            (r["a"], r["b"], r["cosine"])
+            for r in similarity.cosine_neardup_pairs(emb, 0.5).collect()
+        }
+        assert banded <= exact, "banded must never invent pairs"
+        assert banded == exact, f"banded missed pairs at {sf}: {exact - banded}"
 
 
 def test_cosine_matches_numpy(spark):

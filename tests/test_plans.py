@@ -61,6 +61,43 @@ def test_cosine_topk_stays_jvm(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_enrichment_scan_prunes_by_shard(spark, built):
+    """The <=k-row enrichment fetch must hit only the hit ids' shard
+    partitions of the unified doc store (PartitionFilters), not scan the
+    widest table."""
+    from chavinha_mini_search_engine_spark.operators.search import SearchEngine
+    from tests.parity_cfg import CFG
+
+    eng = SearchEngine(spark, built, CFG, cache=False)
+    some_ids = [r["id"] for r in built.read(spark, "unified").limit(3).collect()]
+    plan = formatted_plan(eng._enrich_scan(some_ids))
+    assert "PartitionFilters" in plan
+    assert any(
+        "shard" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ), plan
+
+
+def test_assign_layout_single_wide_exchange(spark, docs):
+    """The (shard, local_id) layout must move the wide corpus rows through
+    exactly ONE exchange: the explicit shard repartition satisfies both the
+    window's distribution and the partitioned write's geometry (the round-1
+    double-shuffle was the measured scaling bottleneck)."""
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        assign_layout,
+    )
+
+    import re
+
+    u = docs.selectExpr("cast(doc_id as string) AS id", "text AS content")
+    out = assign_layout(u, IndexConfig(num_doc_shards=8))
+    plan = formatted_plan(out)
+    # formatted explain lists each node in the tree AND the detail section;
+    # count the numbered detail headers only
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+
+
 def test_postings_scan_prunes_by_tbucket(spark, tiny_pages, tmp_path_factory):
     """Query-term postings reads must hit only the query's tbucket
     partitions (PartitionFilters on the parquet scan)."""

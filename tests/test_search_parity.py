@@ -79,6 +79,45 @@ def test_semantic_rank_identical(engine, oracle, query):
     assert_match(engine.search(query, "semantic", 10), oracle.search(query, "semantic", 10), query, "semantic")
 
 
+def test_semantic_lsh_mode_parity(spark, built, engine):
+    """semantic_mode="lsh" must return EXACTLY the docs a numpy twin picks:
+    probed-bucket chunks scored by closeness, parent-deduped, top-k.  (The
+    approximation is in WHICH candidates are probed -- asserted here to be
+    the deterministic multi-probe set -- not in the scores.)"""
+    import math
+
+    from chavinha_mini_search_engine_spark.oracle.embedder import embed_text
+
+    q = "python async programming"
+    k = 10
+    got = [
+        (r["id"], round(r["relevance"], 9))
+        for r in engine.search(q, "semantic", k, semantic_mode="lsh").collect()
+    ]
+
+    qvec = np.asarray(embed_text(q), dtype=np.float64)
+    probes = set(engine._semantic_probes(qvec))
+    rows = built.read(spark, "attributes").filter("doc_type = 'chunk'").collect()
+    scored = []
+    for r in rows:
+        if r["sem_bucket"] is None or r["sem_bucket"] not in probes:
+            continue
+        emb = np.asarray(r["embedding"], dtype=np.float64)
+        cl = 1.0 / (1.0 + math.acos(max(-1.0, min(1.0, float(emb @ qvec)))))
+        scored.append((cl, r["id"], r["parent_id"]))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    seen, exp = set(), []
+    for cl, cid, pid in scored:
+        key = pid or cid
+        if key in seen:
+            continue
+        seen.add(key)
+        exp.append((pid or cid, round(cl, 9)))
+        if len(exp) == k:
+            break
+    assert sorted(got) == sorted(exp), f"\n got={sorted(got)}\n exp={sorted(exp)}"
+
+
 def test_k_bounds(engine, oracle):
     q = "python async programming"
     assert_match(engine.search(q, "bm25", 1), oracle.search(q, "bm25", 1), q, "bm25-k1")

@@ -95,7 +95,9 @@ def test_stream_events_hourly_watermark_semantics(spark, tmp_path_factory):
 
 @pytest.mark.slow
 def test_index_deltas_searchable(spark, tmp_path_factory):
-    """Base build + streamed delta segment: new docs become searchable."""
+    """Base build + MULTIPLE streamed delta micro-batches: new docs become
+    searchable, and per-(shard, local_id) layout stays collision-free
+    across segments (each batch must offset past base + earlier deltas)."""
     from chavinha_mini_search_engine_spark.operators.index_build import (
         IndexConfig,
         build_index,
@@ -112,10 +114,12 @@ def test_index_deltas_searchable(spark, tmp_path_factory):
 
     store = IndexStore(str(tmp_path_factory.mktemp("bidx") / "i"), build_id="sb")
     build_index(spark, spark.read.parquet(base_dir), store, cfg,
-                with_embeddings=False, verify_text_invariant=False)
+                with_embeddings=True, verify_text_invariant=False)
 
     delta_dir = str(tmp_path_factory.mktemp("delta") / "pages")
-    spark.createDataFrame(rows[30:], schema).write.parquet(delta_dir)
+    # 8 files with maxFilesPerTrigger=4 -> at least 2 micro-batches, so the
+    # second batch's local_id offsets must account for the first's rows
+    spark.createDataFrame(rows[30:], schema).repartition(8).write.parquet(delta_dir)
     q = incremental.stream_index_deltas(
         spark, delta_dir, store, cfg,
         checkpoint_dir=str(tmp_path_factory.mktemp("delta") / "ckpt"),
@@ -124,9 +128,23 @@ def test_index_deltas_searchable(spark, tmp_path_factory):
 
     # delta parts exist and the union parses
     parts = os.listdir(store.path("postings"))
-    assert any(p.startswith("delta=") for p in parts)
+    n_delta_parts = sum(1 for p in parts if p.startswith("delta="))
+    assert n_delta_parts >= 2, f"need >=2 micro-batches, got {parts}"
     post = store.read_parts(spark, "postings")
     assert post.filter(F.col("term") == "python").count() > 0
+
+    # (shard, local_id) is unique across base + all delta segments
+    layout = (
+        store.read(spark, "unified").select("shard", "local_id")
+        .unionByName(
+            store.read_parts(spark, "unified_delta").select("shard", "local_id")
+        )
+    )
+    dup = (
+        layout.groupBy("shard", "local_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0, "delta segments alias base/delta (shard, local_id) slots"
 
     # a doc only present in the delta is retrievable end-to-end
     import hashlib
@@ -144,6 +162,45 @@ def test_index_deltas_searchable(spark, tmp_path_factory):
     res = eng.search(" ".join(terms), "bm25", 50)
     ids = [r["id"] for r in res.collect()]
     assert target_id in ids, f"delta doc {target_id} not retrieved"
+
+    # hybrid over base(+embeddings) + deltas(null embeddings) is
+    # rank-identical to the oracle (delta docs' semantic arm scores 0.0
+    # in both; semantic mode excludes embedding-less chunks in both).
+    # Delta postings inherit the BASE corpus stats / idf (the documented
+    # Lucene-segment drift, refreshed at compaction), so the oracle over
+    # the union is pinned to base-only stats to model the same semantics.
+    import numpy as np
+
+    from chavinha_mini_search_engine_spark.oracle.scorer import OracleIndex
+
+    def to_odocs(df):
+        out = []
+        for r in df.collect():
+            d = r.asDict()
+            emb = d.pop("embedding", None)
+            d["embedding"] = (
+                np.asarray(emb, dtype=np.float32) if emb is not None else None
+            )
+            out.append(d)
+        return out
+
+    base_docs_u = store.read(spark, "unified")
+    union = base_docs_u.unionByName(store.read_parts(spark, "unified_delta"))
+    oracle = OracleIndex(to_odocs(union))
+    oracle.stats = OracleIndex(to_odocs(base_docs_u)).stats
+    for st in ("hybrid", "semantic"):
+        hq = " ".join(terms)
+        got = sorted(
+            ((r["id"], round(r["relevance"], 9)) for r in eng.search(hq, st, 20).collect()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        exp = sorted(
+            ((h["doc_id"], round(h["score"], 9)) for h in oracle.search(hq, st, 20)),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [g[0] for g in got] == [e[0] for e in exp], f"{st} ids diverge over deltas"
+        for (gid, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-8, f"{st} score drift {gid}: {gs} vs {es}"
 
     # --- compaction: base + deltas == from-scratch build over the union ---
     from chavinha_mini_search_engine_spark.operators.index_build import compact
@@ -174,3 +231,12 @@ def test_index_deltas_searchable(spark, tmp_path_factory):
     got_c = [(r["id"], round(r["relevance"], 9)) for r in eng_c.search(q, "bm25", 20).collect()]
     got_f = [(r["id"], round(r["relevance"], 9)) for r in eng_f.search(q, "bm25", 20).collect()]
     assert got_c == got_f
+
+    # stats() over a compacted store (no docs table: the document store
+    # stays with the base segment) falls back to unified full_doc rows
+    from chavinha_mini_search_engine_spark.api import SearchAPI
+
+    s = SearchAPI(spark, compacted, cfg).stats()
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    assert s.total_documents == n_en
+    assert s.total_documents == sum(d.document_count for d in s.domains)
