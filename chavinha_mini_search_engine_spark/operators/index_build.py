@@ -305,7 +305,8 @@ ATTR_SCHEMA_COLS = [
 ]
 
 
-def attributes(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
+def attributes(unified: DataFrame, cfg: IndexConfig,
+               tf: Optional[DataFrame] = None) -> DataFrame:
     """Per-doc serve-side attributes: lengths per field + embedding +
     precomputed semantic-LSH bucket.
 
@@ -317,21 +318,62 @@ def attributes(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
     (with_embeddings=False builds, streamed deltas) -> null bucket, i.e.
     such docs are only reachable via exact semantic mode or after
     compaction re-embeds them.
+
+    Pass ``tf`` (the tokenize_tf output, which already carries per-field
+    dl) to derive len_* from a narrow pivot instead of RE-TOKENIZING the
+    whole corpus a second time -- at 100 TB tokenization is a full-corpus
+    pass worth doing exactly once.  Fields a doc lacks get len 0, which is
+    what F.size(tokens) returned (and the scorer only dereferences lengths
+    for docs a posting reaches, i.e. dl > 0 fields).
     """
-    from .similarity import _bucket_expr, _hyperplanes
+    from .similarity import _hyperplanes
 
     u = unified
-    for f in cfg.fields:
-        u = u.withColumn(f"len_{f}", F.size(tokens_col(f)))
+    if tf is not None:
+        lens = (
+            tf.select("shard", "local_id", "field", "dl").distinct()
+            .groupBy("shard", "local_id")
+            .pivot("field", list(cfg.fields))
+            .agg(F.first("dl"))
+        )
+        lens = lens.select(
+            "shard", "local_id",
+            *[F.coalesce(F.col(f), F.lit(0)).alias(f"len_{f}") for f in cfg.fields],
+        )
+        # shuffle-hash, not sort-merge: the hash table is built from the
+        # NARROW lens side, so the wide unified rows (text + embedding)
+        # stream through without being sorted (an SMJ here re-sorts the
+        # whole corpus and spills at high task concurrency)
+        u = u.join(lens.hint("shuffle_hash"), ["shard", "local_id"], "left")
+        for f in cfg.fields:
+            u = u.withColumn(f"len_{f}", F.coalesce(F.col(f"len_{f}"), F.lit(0)))
+    else:
+        for f in cfg.fields:
+            u = u.withColumn(f"len_{f}", F.size(tokens_col(f)))
+    # Arrow-batched numpy matmul, NOT the catalyst aggregate/zip_with fold:
+    # higher-order-function lambdas are interpreted per element (no
+    # whole-stage codegen), which made this stage the build bottleneck;
+    # one (batch x dim) @ (dim x planes) product per Arrow batch is ~100x
+    # cheaper.  Query-side probes (search.SearchEngine._semantic_probes)
+    # use the same numpy float64 dot, so build and query buckets agree.
     planes = _hyperplanes(cfg.embedding_dim, cfg.sem_lsh_planes, cfg.sem_lsh_seed)
-    u = u.withColumn(
-        "sem_bucket",
-        F.when(
-            F.col("embedding").isNotNull()
-            & (F.size("embedding") == cfg.embedding_dim),
-            _bucket_expr(F.col("embedding"), planes),
-        ),
-    )
+    dim = cfg.embedding_dim
+    weights = np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64)
+
+    @F.pandas_udf("int")
+    def _bucket(embs: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(embs), dtype="Int32")
+        ok = [
+            i for i, v in enumerate(embs)
+            if v is not None and len(v) == dim
+        ]
+        if ok:
+            x = np.stack([embs.iloc[i] for i in ok]).astype(np.float64)
+            bits = (x @ planes.T) > 0
+            out.iloc[ok] = (bits * weights).sum(axis=1).astype(np.int32)
+        return out
+
+    u = u.withColumn("sem_bucket", _bucket(F.col("embedding")))
     return u.select(*ATTR_SCHEMA_COLS)
 
 
@@ -506,12 +548,12 @@ def _index_stages_from_unified(
             store.finish_part("postings", part, {"wall_sec": wall})
     store.finish_stage("postings")
 
-    # stage: attributes
+    # stage: attributes (reuses tf's per-field dl -- no second tokenization)
     if not store.stage_done("attributes"):
         store.begin_stage("attributes")
         t = time.time()
         store.write(
-            attributes(unified, cfg).repartition(cfg.num_doc_shards, "shard"),
+            attributes(unified, cfg, tf=tf).repartition(cfg.num_doc_shards, "shard"),
             "attributes", partition_by=["shard"],
         )
         store.finish_stage("attributes", {"wall_sec": time.time() - t})

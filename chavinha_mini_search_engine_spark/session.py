@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the non-native Hadoop local FS fork+execs `chmod` per committed
+        # file; posix_spawn avoids duplicating the JVM's page tables on
+        # each exec (measured ~25% faster partitioned writes at 16g heap)
+        .config("spark.driver.extraJavaOptions",
+                "-Djdk.lang.Process.launchMechanism=POSIX_SPAWN")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")

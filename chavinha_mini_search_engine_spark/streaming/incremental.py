@@ -133,7 +133,7 @@ def stream_index_deltas(
         stf = scored_tf(tf, tdict, stats, cfg)
         blocks = build_postings_for(stf, tdict, cfg)
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
-        store.write(attributes(u, cfg), "attributes_delta", part=part)
+        store.write(attributes(u, cfg, tf=tf), "attributes_delta", part=part)
         store.write(u, "unified_delta", part=part)
         store.finish_part("stream_deltas", part, {"batch_id": batch_id})
 

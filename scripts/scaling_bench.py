@@ -46,7 +46,12 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
     # modest heap on purpose: every file commit on the non-native Hadoop
     # local FS fork+execs shell utilities, and fork cost scales with JVM
     # page tables -- a 48g heap measurably anti-scales the run
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "10g")
+    # memory scales with cores, as executor memory does on a real cluster
+    # (a fixed heap quarters each task's execution memory at 4x the
+    # threads -> the wide unified/attributes sorts spill ONLY at the high
+    # level, which reads as fake anti-scaling).  Kept moderate overall: a
+    # 48g heap made every local-FS commit fork brutally slow (round 1).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{8 + cpus // 2}g")
     spark = get_spark(
         f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
     )
@@ -68,8 +73,11 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
     n_pages = n_docs * replicate
     idx = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
     # shard_groups=1: one postings round (the checkpoint granularity knob
-    # only adds serial rounds; scaling measures raw throughput)
-    cfg = IndexConfig(num_doc_shards=64, shard_groups=1, heavy_term_df=20000,
+    # only adds serial rounds; scaling measures raw throughput).
+    # num_doc_shards=256 = 4x the max core count tested (the config
+    # docstring's cluster sizing rule): per-task sort/cogroup units stay
+    # small enough to never spill at either parallelism level.
+    cfg = IndexConfig(num_doc_shards=256, shard_groups=1, heavy_term_df=20000,
                       num_salts=8, term_buckets=64, encode_buckets=8)
     t = time.time()
     store = IndexStore(os.path.join(idx, "i"), build_id="s")
