@@ -14,7 +14,7 @@
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -163,20 +163,28 @@ def _bucket_expr(vec_col, planes: np.ndarray):
     return b
 
 
-def lsh_bucketed_topk(
-    emb: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
-    probe_radius: int = 2,
-    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+def add_lsh_bucket(
+    emb: DataFrame, dim: int, n_planes: int = 8,
+    vec_col: str = "embedding", bucket_col: str = "lsh_bucket", seed: int = 42,
 ) -> DataFrame:
-    """ANN: restrict exact scoring to the LSH buckets within
-    ``probe_radius`` hamming distance of the query's bucket (multi-probe).
-    At scale the bucket column is precomputed and the table is partitioned
-    by it -> partition pruning turns the scan into |probes|/2^n_planes of
-    the data.  Recall/cost is tuned by (n_planes, probe_radius)."""
+    """Precompute the sign-bit bucket column once at WRITE time; persist
+    the table ``partitionBy(bucket_col)`` and query-time probing becomes
+    partition pruning (|probes|/2^n_planes of the data is read).  The
+    engine's index build does exactly this for chunk embeddings
+    (index_build.attributes -> sem_bucket)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return emb.withColumn(bucket_col, _bucket_expr(F.col(vec_col), planes))
+
+
+def lsh_probes(
+    query: Sequence[float], n_planes: int = 8, probe_radius: int = 2,
+    seed: int = 42,
+) -> List[int]:
+    """Multi-probe bucket set for a query: its own bucket plus every
+    bucket within probe_radius hamming bits."""
     from itertools import combinations
 
-    dim = len(query)
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(len(query), n_planes, seed)
     qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) > 0)
     probes: List[int] = []
     for r in range(probe_radius + 1):
@@ -185,6 +193,29 @@ def lsh_bucketed_topk(
             for b in bits:
                 m ^= 1 << b
             probes.append(m)
-    bucketed = emb.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("_bkt").isin(probes))
+    return probes
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
+    probe_radius: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+    bucket_col: Optional[str] = None,
+) -> DataFrame:
+    """ANN: restrict exact scoring to the LSH buckets within
+    ``probe_radius`` hamming distance of the query's bucket (multi-probe).
+    Recall/cost is tuned by (n_planes, probe_radius).
+
+    Pass ``bucket_col`` when the table already carries a precomputed
+    bucket (add_lsh_bucket at write time, ideally partitionBy'd): the probe
+    filter then prunes partitions instead of recomputing buckets over the
+    full table per query -- the scale path."""
+    probes = lsh_probes(query, n_planes, probe_radius, seed)
+    if bucket_col is None:
+        planes = _hyperplanes(len(query), n_planes, seed)
+        bucketed = emb.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
+        bucket_col = "_bkt"
+    else:
+        bucketed = emb
+    cand = bucketed.filter(F.col(bucket_col).isin(probes))
     return cosine_topk(cand, query, k, id_col, vec_col)

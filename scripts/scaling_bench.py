@@ -27,6 +27,10 @@ sys.path.insert(0, REPO)
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "24"))
 HTML_REPEAT = int(os.environ.get("SCALING_HTML_REPEAT", "8"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# SCALING_EMBED=0 measures the index-build core without the embedding
+# stages: the reference embeds on GPU (indexer.py:58), so the CPU
+# pseudo-embedder is a stand-in whose scaling is reported separately
+EMBED = os.environ.get("SCALING_EMBED", "1") != "0"
 
 
 def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
@@ -81,7 +85,7 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
                       num_salts=8, term_buckets=64, encode_buckets=8)
     t = time.time()
     store = IndexStore(os.path.join(idx, "i"), build_id="s")
-    build_index(spark, pages, store, cfg, with_embeddings=True,
+    build_index(spark, pages, store, cfg, with_embeddings=EMBED,
                 verify_text_invariant=False, collect_metrics=False)
     wall = time.time() - t
     stage_walls = {}
@@ -125,7 +129,8 @@ def main() -> None:
     eff = (t8 / t32) / 4.0
     summary = {
         "workload": f"full index build, {results[n_low]['n_pages']} pages "
-                    f"(documents sf dir {SF_DIR} x{REPLICATE})",
+                    f"(documents sf dir {SF_DIR} x{REPLICATE}"
+                    f"{', embeddings OFF' if not EMBED else ''})",
         "runs_per_level": rounds,
         "n_low": n_low, "n_high": n_high,
         "all_walls": {str(c): [round(r["wall_sec"], 1) for r in rs] for c, rs in runs.items()},

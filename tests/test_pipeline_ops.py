@@ -144,6 +144,22 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     assert mean_recall >= 0.9, f"clustered-data ANN recall {recalls}"
 
 
+def test_lsh_precomputed_bucket_path_matches(spark):
+    """The scale path (bucket precomputed at write time via add_lsh_bucket,
+    probe filter prunes instead of recomputing) must return exactly what
+    the compute-per-query path returns."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    onthefly = similarity.lsh_bucketed_topk(emb, qvec, 10).collect()
+    pre = similarity.add_lsh_bucket(emb, dim=len(qvec))
+    precomputed = similarity.lsh_bucketed_topk(
+        pre, qvec, 10, bucket_col="lsh_bucket"
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in onthefly] == [
+        (r["vec_id"], r["cosine"]) for r in precomputed
+    ]
+
+
 def test_cosine_neardup_banded_matches_exact(spark):
     """The banded default (hyperplane buckets + multi-probe + exact verify)
     must reproduce the all-pairs oracle on the gate corpora -- this is the
