@@ -108,12 +108,16 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         rs = ResidentSearcher(store, cfg)
         for wq in ("warmup query python", "docker kubernetes", "a"):
             rs.search(wq, "bm25", 10)
-        rlat = []
+        rlat, rlat_matched = [], []
         for q in ALL_QUERIES:
             t = time.time()
-            rs.search(q, "bm25", 10)
-            rlat.append(time.time() - t)
+            hits = rs.search(q, "bm25", 10)
+            dt = time.time() - t
+            rlat.append(dt)
+            if hits:
+                rlat_matched.append(dt)
         rlat.sort()
+        rlat_matched.sort()
         timings["bm25_resident_p50_ms"] = round(rlat[len(rlat) // 2] * 1e3, 2)
         timings["bm25_resident_p95_ms"] = round(
             rlat[int(len(rlat) * 0.95) - 1] * 1e3, 2
@@ -121,6 +125,20 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         timings["bm25_resident_avg_ms"] = round(
             sum(rlat) / len(rlat) * 1e3, 2
         )
+        # the reference's query set always matches ITS corpus; on the
+        # synthetic corpus many reference queries match nothing and return
+        # in ~10us, which would flatter the percentiles -- report the
+        # matched-only distribution as the honest comparison
+        if rlat_matched:
+            m = rlat_matched
+            timings["bm25_resident_matched_n"] = len(m)
+            timings["bm25_resident_matched_p50_ms"] = round(m[len(m) // 2] * 1e3, 2)
+            timings["bm25_resident_matched_p95_ms"] = round(
+                m[max(int(len(m) * 0.95) - 1, 0)] * 1e3, 2
+            )
+            timings["bm25_resident_matched_avg_ms"] = round(
+                sum(m) / len(m) * 1e3, 2
+            )
         t = time.time()
         rs.search("python async programming", "hybrid", 10)
         timings["hybrid_resident_ms"] = round((time.time() - t) * 1e3, 2)

@@ -136,14 +136,16 @@ def _bm25_shard_kernel(
                 adl = avgdl[field]
                 dl = lens[field]
                 prune = (mode == "bm25") and (theta > -math.inf)
-                for _, blk in g.iterrows():
+                # itertuples, not iterrows: same traversal, ~10x less
+                # per-block overhead (this loop is the serve hot path)
+                for blk in g.itertuples(index=False):
                     if prune:
-                        lo, hi = int(blk["first_local"]), int(blk["last_local"])
-                        ub = acc[lo:hi + 1].max() + blk["max_score"] * w + rem_after
+                        lo, hi = int(blk.first_local), int(blk.last_local)
+                        ub = acc[lo:hi + 1].max() + blk.max_score * w + rem_after
                         if ub < theta:
                             continue
-                    bl_ids = delta_decode(blk["doc_bytes"], int(blk["n"])).astype(np.int64)
-                    tfs = varbyte_decode(blk["tf_bytes"], int(blk["n"])).astype(np.float64)
+                    bl_ids = delta_decode(blk.doc_bytes, int(blk.n)).astype(np.int64)
+                    tfs = varbyte_decode(blk.tf_bytes, int(blk.n)).astype(np.float64)
                     denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
                     acc[bl_ids] += w * (idf * tfs / denom)
                     touched[bl_ids] = True
