@@ -4,10 +4,13 @@
 sf0.001.  ``queries()`` -- one entry per implemented operator family from
 SURVEY.md §2 plus the training-data-pipeline ops; EVERY entry has a DuckDB
 twin in ``oracle_sql()``: the hash-based ops (MinHash, SimHash) use the md5
-hash family (bit-identical in Spark and DuckDB), the approximate ANN's
-multi-probe candidate set is reproduced exactly from the shared
+hash family (bit-identical in Spark and DuckDB), the approximate ops
+(ann_lsh_topk, embedding_neardup_banded) have twins that reproduce the
+multi-probe / hamming-band candidate set exactly from the shared
 deterministic hyperplanes, and the python chunker's output is gated through
-a materialized parquet artifact both engines aggregate.
+a materialized parquet artifact both engines aggregate (which verifies the
+aggregation over identical chunker output; the chunker kernel itself is
+verified by tests/test_chunker.py -- see _q_chunk_stats).
 
 All float outputs are rounded (6-9 dp) on BOTH sides so the driver's
 value-hash compares equal despite summation-order ulp noise.
@@ -15,6 +18,7 @@ value-hash compares equal despite summation-order ulp noise.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,8 +147,15 @@ def _q_ann_cosine_topk(spark, sf):  # ANN baseline (exact brute force)
     return similarity.cosine_topk(_emb(spark, sf), qvec, k=10)
 
 
-def _q_embedding_neardup(spark, sf):  # D-embedding-cosine
-    return similarity.cosine_neardup_pairs(_emb(spark, sf), threshold=0.5)
+def _q_embedding_neardup(spark, sf):  # D-embedding-cosine (exact form)
+    # exact all-pairs, matching the exact all-pairs SQL twin; the banded
+    # scale path is gated separately (embedding_neardup_banded) against a
+    # banded twin that reproduces the hamming-<=2 candidate set
+    return similarity.cosine_neardup_pairs_exact(_emb(spark, sf), threshold=0.5)
+
+
+def _q_embedding_neardup_banded(spark, sf):  # D-embedding-cosine (scale path)
+    return similarity.cosine_neardup_pairs_banded(_emb(spark, sf), threshold=0.5)
 
 
 def _q_ann_lsh_topk(spark, sf):  # ANN scale path (approximate; rows-only)
@@ -170,7 +181,11 @@ def _q_fingerprints(spark, sf):  # document fingerprinting
     return textstats.doc_fingerprints(_docs(spark, sf)).select("doc_id", "fingerprint")
 
 
-CHUNK_GATE_ARTIFACT = "/root/repo/.gate_artifacts/chunks_gate"
+# Derived from this file's location at import time (not hardcoded), so the
+# gate works wherever the repo is checked out.
+CHUNK_GATE_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".gate_artifacts", "chunks_gate"
+)
 
 
 def _q_chunk_stats(spark, sf):  # C1+C2 (python chunker)
@@ -179,6 +194,15 @@ def _q_chunk_stats(spark, sf):  # C1+C2 (python chunker)
     # parquet artifact, aggregate the read-back rows here, and let the
     # DuckDB oracle aggregate the same artifact -- a real side-by-side
     # check of the aggregation over identical chunker output.
+    #
+    # ORDERING: the DuckDB twin reads the artifact this query writes, so it
+    # must run AFTER this Spark query (the driver evaluates each pair
+    # Spark-then-oracle, which satisfies this).  Known limitation, stated
+    # honestly: because both engines aggregate the same materialized rows,
+    # this gate verifies the aggregation, not the chunker kernel itself --
+    # chunker-kernel correctness (sizes, overlap, min-chunk filter,
+    # reference parity) is covered by tests/test_chunker.py including
+    # hypothesis property tests.
     from chavinha_mini_search_engine_spark.operators.chunk import chunk_docs
 
     docs = _docs(spark, sf).select(
@@ -238,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_banded": _q_embedding_neardup_banded,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "quality_features": _q_quality,
         "language_id": _q_langid,
@@ -436,12 +461,10 @@ WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
 """
 
 
-def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, probe_radius: int = 2,
-                 k: int = 10, seed: int = 42) -> str:
-    """LSH-ANN twin (operators/similarity.py lsh_bucketed_topk): the same
-    deterministic hyperplanes as SQL literals; a row is a candidate iff its
-    sign-bit bucket is within ``probe_radius`` hamming of the query's
-    bucket (== the multi-probe set); exact cosine over candidates only."""
+def _bucket_sql(dim: int = 64, n_planes: int = 8, seed: int = 42):
+    """SQL builder for the deterministic hyperplane sign-bit bucket
+    (operators/similarity.py _bucket_expr) -- shared by the LSH-ANN and
+    banded-near-dup twins."""
     from chavinha_mini_search_engine_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -459,6 +482,17 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, probe_radius: int = 2,
             for i, p in enumerate(planes)
         )
 
+    return bucket
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, probe_radius: int = 2,
+                 k: int = 10, seed: int = 42) -> str:
+    """LSH-ANN twin (operators/similarity.py lsh_bucketed_topk): the same
+    deterministic hyperplanes as SQL literals; a row is a candidate iff its
+    sign-bit bucket is within ``probe_radius`` hamming of the query's
+    bucket (== the multi-probe set); exact cosine over candidates only."""
+    bucket = _bucket_sql(dim, n_planes, seed)
+
     return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 qb AS (SELECT {bucket('qe')} AS qsig FROM q),
@@ -470,6 +504,31 @@ cand AS (
 SELECT c.vec_id, round({_COS64.format(a='c.embedding', b='q.qe')}, 6) AS cosine
 FROM cand c, q
 ORDER BY cosine DESC, c.vec_id ASC LIMIT {k}
+"""
+
+
+def _embedding_neardup_banded_sql(
+    threshold: float = 0.5, dim: int = 64, n_planes: int = 8,
+    max_hamming: int = 2, seed: int = 42,
+) -> str:
+    """Banded near-dup twin (operators/similarity.py
+    cosine_neardup_pairs_banded): a pair is a candidate iff their
+    hyperplane sign buckets differ in <= max_hamming bits (== the
+    multi-probe candidate set the Spark side explodes); exact cosine on
+    candidates only, filtered on the ROUNDED value exactly as the Spark
+    side does."""
+    bucket = _bucket_sql(dim, n_planes, seed)
+
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bkt FROM embeddings),
+cand AS (
+  SELECT x.vec_id AS a, x.embedding AS ea, y.vec_id AS b, y.embedding AS eb
+  FROM b x JOIN b y ON x.vec_id < y.vec_id
+  WHERE bit_count(xor(x.bkt, y.bkt)) <= {max_hamming}
+)
+SELECT a, b, cosine FROM (
+  SELECT a, b, round({_COS64.format(a='ea', b='eb')}, 6) AS cosine FROM cand
+) WHERE cosine >= {threshold}
 """
 
 
@@ -536,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
             + ", 6) AS cosine FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id "
             "WHERE " + _COS64.format(a="x.embedding", b="y.embedding") + " >= 0.5"
         ),
+        "embedding_neardup_banded": _embedding_neardup_banded_sql(),
         "quality_features": f"""
             WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
             SELECT doc_id,

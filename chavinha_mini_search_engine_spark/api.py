@@ -107,12 +107,24 @@ class SearchAPI:
 
         A compacted store (operators/index_build.compact) carries no docs
         table -- the document store stays with the base segment -- so fall
-        back to the full_doc rows of the compacted unified corpus."""
+        back to the full_doc rows of the compacted unified corpus.  Either
+        way, streamed delta segments (streaming/incremental.py writes
+        unified_delta, never docs) are unioned in, mirroring the
+        SearchEngine's segment-union serve view -- otherwise stats would
+        undercount exactly the freshest documents."""
         if self.store.exists("docs"):
-            docs = self.store.read(self.spark, "docs")
+            docs = self.store.read(self.spark, "docs").select("domain")
         else:
-            docs = self.store.read(self.spark, "unified").filter(
-                F.col("doc_type") == "full_doc"
+            docs = (
+                self.store.read(self.spark, "unified")
+                .filter(F.col("doc_type") == "full_doc")
+                .select("domain")
+            )
+        if self.store.exists("unified_delta"):
+            docs = docs.unionByName(
+                self.store.read_parts(self.spark, "unified_delta")
+                .filter(F.col("doc_type") == "full_doc")
+                .select("domain")
             )
         per_domain = (
             docs.groupBy("domain").agg(F.count(F.lit(1)).alias("document_count"))

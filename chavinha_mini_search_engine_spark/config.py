@@ -94,3 +94,14 @@ class IndexConfig:
     sem_lsh_planes: int = 8
     sem_lsh_seed: int = 42
     sem_lsh_probe_radius: int = 2
+
+    def __post_init__(self):
+        # sem_bucket is stored as int32 in attributes; >=31 planes would
+        # wrap the stored bucket while query-side probes compute unbounded
+        # python ints -- a legal-looking config that silently returns zero
+        # lsh-mode candidates.  Fail loudly at construction instead.
+        if not 1 <= self.sem_lsh_planes <= 30:
+            raise ValueError(
+                f"sem_lsh_planes must be in [1, 30] (int32 sem_bucket), "
+                f"got {self.sem_lsh_planes}"
+            )

@@ -62,6 +62,30 @@ SCORE_SCHEMA = (
 )
 
 
+def semantic_probes(cfg: IndexConfig, qvec: np.ndarray) -> List[int]:
+    """Multi-probe bucket set for the query embedding: its own hyperplane
+    sign bucket plus every bucket within cfg.sem_lsh_probe_radius hamming
+    bits -- computed driver-side with the same deterministic planes the
+    build wrote into attributes.sem_bucket (no Spark job).  Shared by the
+    Spark serve path (SearchEngine) and the resident path
+    (operators/serve.ResidentSearcher)."""
+    from itertools import combinations
+
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(cfg.embedding_dim, cfg.sem_lsh_planes, cfg.sem_lsh_seed)
+    q = np.asarray(qvec, dtype=np.float64)
+    qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, q)) > 0)
+    probes: List[int] = []
+    for r in range(cfg.sem_lsh_probe_radius + 1):
+        for bits in combinations(range(cfg.sem_lsh_planes), r):
+            m = qsig
+            for b in bits:
+                m ^= 1 << b
+            probes.append(m)
+    return probes
+
+
 def _query_terms(query: str) -> List[str]:
     seen, out = set(), []
     for t in tokenize_py(query):
@@ -93,6 +117,28 @@ def _bm25_shard_kernel(
     attribute lengths so results match the oracle bit-for-bit; the
     build-time ``max_score`` (same float64 expression) is a valid per-block
     upper bound for pruning.
+
+    Hot-loop shape: per (field, term) the kernel evaluates the block-max
+    skip test for ALL blocks at once (np.maximum.reduceat over the
+    accumulator -- block local-id ranges are disjoint and ascending, so
+    skip decisions within one term are traversal-order independent), then
+    concatenates the SURVIVING blocks' byte payloads and decodes them in
+    ONE varbyte/delta pass (the codec is self-delimiting, so a single
+    decode over the joined buffer + a per-block cumsum correction replaces
+    thousands of per-block python iterations).  One fancy-indexed
+    accumulate per term -- safe because a doc appears in exactly one block
+    of a term's posting list.
+
+    Hybrid pruning (doc.sd:165-176 blend): the blended score is not
+    monotone in the BM25 accumulator alone, but sigmoid is monotone and
+    closeness <= 1.0, so
+    ``W_bm25*sigmoid(ub_bm25/s) + W_sem*1.0 < theta`` is a sound skip
+    test; theta comes from exact lower bounds (sigmoid of current acc +
+    EXACT closeness) of the current top-k-by-acc candidates -- k vectors
+    per term, cheap.  Lossless by the standard WAND argument (a skipped
+    block's docs are provably below the k-th best final score; docs that
+    reach the top-k never had a block skipped, so their scores are exact);
+    pruned == exhaustive is asserted for both modes in tests.
     """
 
     def kernel(post_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -113,47 +159,6 @@ def _bm25_shard_kernel(
 
         acc = np.zeros(n_docs, dtype=np.float64)
         touched = np.zeros(n_docs, dtype=bool)
-
-        if mode in ("bm25", "hybrid") and len(post_pdf):
-            assert len(attr) == n_docs, "attributes must be dense per shard"
-            # group posting blocks per (field, term)
-            groups: Dict[Tuple[str, str], pd.DataFrame] = {
-                key: g for key, g in post_pdf.groupby(["field", "term"], sort=False)
-            }
-            # per-term-field max contribution for MaxScore ordering/pruning
-            entries = []
-            for (field, term), g in groups.items():
-                wi = term_payload.get((field, term))
-                if wi is None:
-                    continue
-                w, idf = wi
-                entries.append(((field, term), w, idf, float(g["max_score"].max()) * w, g))
-            entries.sort(key=lambda e: -e[3])
-            suffix = np.cumsum([e[3] for e in entries][::-1])[::-1]
-            theta = -math.inf
-            for i, ((field, term), w, idf, mx, g) in enumerate(entries):
-                rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
-                adl = avgdl[field]
-                dl = lens[field]
-                prune = (mode == "bm25") and (theta > -math.inf)
-                # itertuples, not iterrows: same traversal, ~10x less
-                # per-block overhead (this loop is the serve hot path)
-                for blk in g.itertuples(index=False):
-                    if prune:
-                        lo, hi = int(blk.first_local), int(blk.last_local)
-                        ub = acc[lo:hi + 1].max() + blk.max_score * w + rem_after
-                        if ub < theta:
-                            continue
-                    bl_ids = delta_decode(blk.doc_bytes, int(blk.n)).astype(np.int64)
-                    tfs = varbyte_decode(blk.tf_bytes, int(blk.n)).astype(np.float64)
-                    denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
-                    acc[bl_ids] += w * (idf * tfs / denom)
-                    touched[bl_ids] = True
-                # theta = current k-th best lower bound among eligible docs
-                if mode == "bm25" and touched.any():
-                    cand = acc[touched & is_full] if full_only else acc[touched]
-                    if cand.size >= k:
-                        theta = float(np.partition(cand, -k)[-k])
 
         def _closeness(idxs_):
             """Vespa closeness(angular) = 1/(1+arccos(cos)); docs without a
@@ -176,6 +181,84 @@ def _bm25_shard_kernel(
             cl = 1.0 / (1.0 + np.arccos(sims))
             cl[~has] = 0.0
             return cl, has
+
+        if mode in ("bm25", "hybrid") and len(post_pdf):
+            assert len(attr) == n_docs, "attributes must be dense per shard"
+            # per-(field, term) block arrays, sorted by first_local so the
+            # block ranges are disjoint ascending intervals (base blocks
+            # are consecutive id chunks; delta-segment ids are shifted past
+            # every earlier segment, streaming/incremental.py)
+            entries = []
+            for (field, term), g in post_pdf.groupby(["field", "term"], sort=False):
+                wi = term_payload.get((field, term))
+                if wi is None:
+                    continue
+                w, idf = wi
+                if not g["first_local"].is_monotonic_increasing:
+                    g = g.sort_values("first_local")
+                entries.append((
+                    field, w, idf, float(g["max_score"].max()) * w,
+                    g["first_local"].values.astype(np.int64),
+                    g["last_local"].values.astype(np.int64),
+                    g["max_score"].values.astype(np.float64),
+                    g["n"].values.astype(np.int64),
+                    g["doc_bytes"].values, g["tf_bytes"].values,
+                ))
+            entries.sort(key=lambda e: -e[3])
+            suffix = np.cumsum([e[3] for e in entries][::-1])[::-1]
+            theta = -math.inf
+            sig_w, cl_w = HYBRID_BM25_WEIGHT, HYBRID_SEM_WEIGHT
+            for i, (field, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
+                    in enumerate(entries):
+                rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
+                adl = avgdl[field]
+                dl = lens[field]
+                if theta > -math.inf:
+                    # block-max skip test, all blocks of this term at once
+                    idx = np.empty(2 * len(firsts), dtype=np.int64)
+                    idx[0::2] = firsts
+                    idx[1::2] = lasts + 1
+                    if idx[-1] >= n_docs:
+                        idx = idx[:-1]  # final segment runs to the end
+                    seg_max = np.maximum.reduceat(acc, idx)[0::2]
+                    ub = seg_max + maxs * w + rem_after
+                    if mode == "hybrid":
+                        ub = sig_w / (1.0 + np.exp(-ub / HYBRID_SIGMOID_SCALE)) + cl_w
+                    sel = np.flatnonzero(ub >= theta)
+                    if sel.size == 0:
+                        continue
+                    if sel.size < len(ns):
+                        firsts, ns = firsts[sel], ns[sel]
+                        docb, tfb = docb[sel], tfb[sel]
+                # batched decode of the surviving blocks: one pass over the
+                # concatenated buffers, then un-offset each block's cumsum
+                total = int(ns.sum())
+                gaps = varbyte_decode(b"".join(docb), total)
+                ids_all = np.cumsum(gaps, dtype=np.uint64)
+                ends = np.cumsum(ns)
+                offs = np.zeros(len(ns), dtype=np.uint64)
+                offs[1:] = ids_all[ends[:-1] - 1]
+                bl_ids = (ids_all - np.repeat(offs, ns)).astype(np.int64)
+                tfs = varbyte_decode(b"".join(tfb), total).astype(np.float64)
+                denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
+                # plain fancy += (not add.at): ids are unique within a term
+                acc[bl_ids] += w * (idf * tfs / denom)
+                touched[bl_ids] = True
+                # theta = k-th best lower bound among eligible docs
+                if mode == "bm25" and touched.any():
+                    cand = acc[touched & is_full] if full_only else acc[touched]
+                    if cand.size >= k:
+                        theta = float(np.partition(cand, -k)[-k])
+                elif mode == "hybrid" and touched.any():
+                    t_idx = np.flatnonzero(touched)
+                    if t_idx.size >= k:
+                        top = t_idx[np.argpartition(acc[t_idx], -k)[-k:]]
+                        cl_top, _ = _closeness(top)
+                        lb = (
+                            sig_w / (1.0 + np.exp(-acc[top] / HYBRID_SIGMOID_SCALE))
+                            + cl_w * cl_top
+                        )
+                        theta = max(theta, float(lb.min()))
 
         if mode == "bm25":
             sel = touched & is_full if full_only else touched
@@ -266,30 +349,7 @@ class SearchEngine:
         return {(r["field"], r["term"]): (float(r["idf"]), int(r["df"])) for r in rows}
 
     def _semantic_probes(self, qvec: np.ndarray) -> List[int]:
-        """Multi-probe bucket set for the query embedding: its own
-        hyperplane sign bucket plus every bucket within
-        cfg.sem_lsh_probe_radius hamming bits -- computed driver-side with
-        the same deterministic planes the build wrote into
-        attributes.sem_bucket (no Spark job)."""
-        from itertools import combinations
-
-        from .similarity import _hyperplanes
-
-        planes = _hyperplanes(
-            self.cfg.embedding_dim, self.cfg.sem_lsh_planes, self.cfg.sem_lsh_seed
-        )
-        q = np.asarray(qvec, dtype=np.float64)
-        qsig = sum(
-            (1 << i) for i, p in enumerate(planes) if float(np.dot(p, q)) > 0
-        )
-        probes: List[int] = []
-        for r in range(self.cfg.sem_lsh_probe_radius + 1):
-            for bits in combinations(range(self.cfg.sem_lsh_planes), r):
-                m = qsig
-                for b in bits:
-                    m ^= 1 << b
-                probes.append(m)
-        return probes
+        return semantic_probes(self.cfg, qvec)
 
     def _tbuckets(self, terms: List[str]) -> List[int]:
         """tbucket per term, computed driver-side with the pure-Python

@@ -45,8 +45,9 @@ from .search import _bm25_shard_kernel, _dynamic_snippet, _query_terms, clean_sn
 ATTR_COLS = [
     "shard", "local_id", "id", "doc_type", "parent_id", "parent_doc_type",
     "len_title", "len_content", "len_description", "len_chunk_content",
-    "embedding",
+    "embedding", "sem_bucket",
 ]
+DOC_COLS = ["id", "url", "domain", "title", "content", "chunk_content"]
 POST_COLS = [
     "field", "term", "shard", "block_idx", "first_local", "last_local",
     "n", "max_score", "doc_bytes", "tf_bytes",
@@ -118,36 +119,44 @@ class ResidentSearcher:
             for (f, t, s), g in post.groupby(["field", "term", "shard"], sort=False)
         }
 
-        # doc store for enrichment (id -> display fields); the unified
-        # table is shard-partitioned, so a cluster replica would load only
-        # its own shards' slice of this too
-        uni = _read_parts_arrow(
-            store.path("unified"),
-            ["id", "url", "domain", "title", "content", "chunk_content"],
-        )
+        # doc store for enrichment: kept LAZY -- content is the widest
+        # column in the system, and a resident dict of every content string
+        # would scale RAM with total corpus bytes.  Instead hold pyarrow
+        # dataset handles and fetch only the <=k hit rows per query:
+        # unified is hive-partitioned by shard (derivable driver-side from
+        # the hit id, _enrich) and id-SORTED within each shard partition
+        # (assign_layout orders local_id by id), so the per-query fetch
+        # prunes to the hits' shard dirs and then to 1-2 row groups via
+        # parquet min/max stats on id.
+        self._doc_datasets = self._doc_handles(store.path("unified"))
         if store.exists("unified_delta"):
-            uni = pd.concat(
-                [uni, _read_parts_arrow(
-                    store.path("unified_delta"),
-                    ["id", "url", "domain", "title", "content", "chunk_content"],
-                )],
-                ignore_index=True,
-            )
-        self.docstore = {
-            r.id: (r.url, r.domain, r.title, r.content, r.chunk_content)
-            for r in uni.itertuples()
-        }
+            self._doc_datasets += self._doc_handles(store.path("unified_delta"))
 
         self._empty_post = pd.DataFrame({c: [] for c in POST_COLS})
+
+    @staticmethod
+    def _doc_handles(root: str) -> list:
+        entries = [
+            d for d in os.listdir(root)
+            if not d.startswith(("_", ".")) and "__tmp" not in d
+        ]
+        keys = {d.split("=", 1)[0] for d in entries if "=" in d}
+        parts = (
+            [os.path.join(root, d) for d in sorted(entries)]
+            if len(keys) > 1 else [root]
+        )
+        return [pads.dataset(p, format="parquet", partitioning="hive") for p in parts]
 
     # -- query path (zero Spark jobs) --
 
     def search(self, query: str, search_type: str = "bm25",
-               k: int = DEFAULT_LIMIT) -> List[dict]:
+               k: int = DEFAULT_LIMIT, semantic_mode: str = "exact") -> List[dict]:
         if not 1 <= k <= MAX_LIMIT:
             raise ValueError(f"limit must be in [1, {MAX_LIMIT}]")
         if search_type not in ("bm25", "semantic", "hybrid"):
             raise ValueError(f"invalid search_type {search_type}")
+        if semantic_mode not in ("exact", "lsh"):
+            raise ValueError(f"invalid semantic_mode {semantic_mode}")
 
         terms = _query_terms(query)
         fields = (
@@ -171,9 +180,23 @@ class ResidentSearcher:
             qvec, full_only=(search_type == "bm25"),
         )
 
+        probes = None
+        if search_type == "semantic" and semantic_mode == "lsh":
+            # HNSW-analog pruning, mirroring SearchEngine.search's lsh
+            # branch: restrict candidates to chunks whose build-time
+            # hyperplane bucket (attributes.sem_bucket) is within
+            # probe_radius hamming bits of the query's bucket.
+            from .search import semantic_probes
+
+            probes = set(semantic_probes(self.cfg, qvec))
+
         outs = []
         for shard, attr in self.attr_by_shard.items():
             if search_type == "semantic":
+                if probes is not None:
+                    attr = attr[attr["sem_bucket"].isin(probes)]
+                    if attr.empty:
+                        continue
                 post = self._empty_post
             else:
                 blocks = [
@@ -199,10 +222,33 @@ class ResidentSearcher:
         merged = merged.drop_duplicates("dedup_key", keep="first").head(k)
         return self._enrich(merged, terms)
 
+    def _fetch_docrows(self, ids: List[str]) -> Dict[str, tuple]:
+        """Fetch the <=k hit rows from the parquet doc store: shard dirs
+        pruned via the driver-side xxhash twin, row groups pruned via the
+        id-sorted parquet statistics.  Resident RAM therefore never holds
+        the corpus' content strings (serve-path scale requirement)."""
+        import pyarrow.compute as pc
+
+        from ..functions.xxhash import spark_pmod_bucket
+
+        shards = sorted(
+            {spark_pmod_bucket(i, self.cfg.num_doc_shards) for i in ids}
+        )
+        out: Dict[str, tuple] = {}
+        for ds in self._doc_datasets:
+            filt = pc.field("id").isin(ids)
+            if "shard" in ds.schema.names:
+                filt = pc.field("shard").isin(shards) & filt
+            tbl = ds.to_table(columns=DOC_COLS, filter=filt)
+            for r in tbl.to_pandas().itertuples():
+                out[r.id] = (r.url, r.domain, r.title, r.content, r.chunk_content)
+        return out
+
     def _enrich(self, hits: pd.DataFrame, terms: List[str]) -> List[dict]:
+        docrows = self._fetch_docrows(list(hits["id"]))
         out = []
         for rank, h in enumerate(hits.itertuples(), 1):
-            m = self.docstore.get(h.id)
+            m = docrows.get(h.id)
             url, domain, title, content, chunk_content = m or ("", "", "", "", "")
             if h.doc_type == "chunk":
                 snippet = chunk_content or ""

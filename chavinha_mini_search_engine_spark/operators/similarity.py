@@ -2,9 +2,13 @@
 
 - ``cosine_topk``: exact brute-force top-k -- the correctness baseline,
   entirely JVM-side (zip_with + aggregate, no Python);
-- ``cosine_neardup_pairs``: banded near-dup pairs (hyperplane buckets +
-  multi-probe candidates, exact cosine verify -- the scale path);
-- ``cosine_neardup_pairs_exact``: all-pairs oracle for the banded form;
+- ``cosine_neardup_pairs_banded``: banded near-dup pairs (hyperplane
+  buckets + multi-probe candidates, exact cosine verify -- the scale
+  path).  Named explicitly: it is approximate by construction, so callers
+  choose it knowingly instead of inheriting it under an exact-sounding
+  name;
+- ``cosine_neardup_pairs_exact``: all-pairs exact form -- the correctness
+  oracle for the banded path and the right call at gate/test scale;
 - ``lsh_bucketed_topk``: the scale path -- random-hyperplane LSH buckets
   (deterministic seeded planes), probe the query bucket plus all
   hamming-1 neighbor buckets, exact-score only the probed candidates.
@@ -84,7 +88,7 @@ def cosine_neardup_pairs_exact(
     )
 
 
-def cosine_neardup_pairs(
+def cosine_neardup_pairs_banded(
     emb: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 8, max_hamming: int = 2, seed: int = 42,

@@ -93,20 +93,34 @@ def stream_index_deltas(
     tdict = store.read(spark, "term_dict")
     epoch = int(time.time())
 
-    def _current_offsets() -> DataFrame:
-        """Per-shard max local_id across base + ALL existing delta segments.
+    def _current_offsets() -> dict:
+        """Per-shard max local_id across base + ALL existing segments: a
+        batch's local_id range must start past every previously written
+        segment, or two deltas would alias the same (shard, local_id) and
+        the serve kernel -- which indexes its accumulator positionally --
+        would conflate distinct documents.
 
-        Recomputed per micro-batch (and so per stream restart): a batch's
-        local_id range must start past every previously written segment,
-        or two deltas would alias the same (shard, local_id) and the serve
-        kernel -- which indexes its accumulator positionally -- would
-        conflate distinct documents."""
+        The running offsets are PERSISTED in the manifest after each batch
+        (``stream_offsets``), so steady-state micro-batches pay one
+        manifest read instead of a full metadata scan of base + all deltas
+        (which at a large base is a full-table pass per batch).  The scan
+        remains the first-use fallback -- and the authority whenever the
+        manifest carries no offsets, e.g. a store streamed into by an
+        older build."""
+        saved = store.manifest.get("stream_offsets")
+        if saved is not None:
+            return {int(s): int(m) for s, m in saved.items()}
         seen = store.read(spark, "unified").select("shard", "local_id")
         if store.exists("unified_delta"):
             seen = seen.unionByName(
                 store.read_parts(spark, "unified_delta").select("shard", "local_id")
             )
-        return seen.groupBy("shard").agg(F.max("local_id").alias("max_local"))
+        return {
+            int(r["shard"]): int(r["max_local"])
+            for r in seen.groupBy("shard")
+            .agg(F.max("local_id").alias("max_local"))
+            .collect()
+        }
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -120,8 +134,12 @@ def stream_index_deltas(
         u = unified_corpus(docs, chunks, cfg)
         # shift local ids past every already-written segment's ids per shard
         # so delta postings never collide with base or earlier-delta postings
+        offs = _current_offsets()
+        offs_df = spark.createDataFrame(
+            list(offs.items()) or [], "shard int, max_local long"
+        )
         u = (
-            u.join(F.broadcast(_current_offsets()), "shard", "left")
+            u.join(F.broadcast(offs_df), "shard", "left")
             .withColumn(
                 "local_id",
                 F.col("local_id") + F.coalesce(F.col("max_local") + 1, F.lit(0)),
@@ -135,6 +153,18 @@ def stream_index_deltas(
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
         store.write(attributes(u, cfg, tf=tf), "attributes_delta", part=part)
         store.write(u, "unified_delta", part=part)
+        # fold this batch's maxima into the running offsets (the batch is
+        # small, so this agg is over the micro-batch only) and persist them
+        # with the segment commit
+        batch_max = (
+            store.read(spark, "unified_delta", part=part)
+            .groupBy("shard").agg(F.max("local_id").alias("max_local"))
+            .collect()
+        )
+        for r in batch_max:
+            s = int(r["shard"])
+            offs[s] = max(offs.get(s, -1), int(r["max_local"]))
+        store.manifest["stream_offsets"] = {str(s): m for s, m in offs.items()}
         store.finish_part("stream_deltas", part, {"batch_id": batch_id})
 
     src = (

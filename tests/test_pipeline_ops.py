@@ -172,7 +172,7 @@ def test_cosine_neardup_banded_matches_exact(spark):
         }
         banded = {
             (r["a"], r["b"], r["cosine"])
-            for r in similarity.cosine_neardup_pairs(emb, 0.5).collect()
+            for r in similarity.cosine_neardup_pairs_banded(emb, 0.5).collect()
         }
         assert banded <= exact, "banded must never invent pairs"
         assert banded == exact, f"banded missed pairs at {sf}: {exact - banded}"
@@ -214,3 +214,16 @@ def test_media_resize_header(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal._decode_payload(b"\x89PNG....", stub=False)
+
+
+def test_sem_lsh_planes_validated():
+    """sem_bucket is int32 in attributes: >=31 planes would overflow the
+    stored bucket while query-side probes compute unbounded ints (silent
+    zero-candidate lsh mode) -- the config must reject it loudly."""
+    from chavinha_mini_search_engine_spark.config import IndexConfig
+
+    with pytest.raises(ValueError):
+        IndexConfig(sem_lsh_planes=31)
+    with pytest.raises(ValueError):
+        IndexConfig(sem_lsh_planes=0)
+    IndexConfig(sem_lsh_planes=30)  # boundary OK

@@ -40,6 +40,24 @@ def test_resident_matches_spark_engine(resident, engine, st):
             assert abs(gs - es) < 1e-8, (st, q, gid, gs, es)
 
 
+def test_resident_semantic_lsh_matches_engine(resident, engine):
+    """semantic_mode="lsh" on the resident path must pick exactly the same
+    probed-bucket candidates (and scores) as the Spark engine's lsh branch
+    -- both derive probes from search.semantic_probes over the build-time
+    sem_bucket attribute."""
+    for q in PERF_QUERIES[:3]:
+        got = norm(resident.search(q, "semantic", 10, semantic_mode="lsh"))
+        exp = norm(
+            r.asDict()
+            for r in engine.search(q, "semantic", 10, semantic_mode="lsh").collect()
+        )
+        assert [g[0] for g in got] == [e[0] for e in exp], (q, got, exp)
+        for (gid, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-8, (q, gid, gs, es)
+    with pytest.raises(ValueError):
+        resident.search("x", "semantic", 10, semantic_mode="nope")
+
+
 def test_resident_enrichment_fields(resident):
     rows = resident.search("python async programming", "bm25", 5)
     assert rows and rows[0]["url"].startswith("https://")

@@ -146,6 +146,31 @@ def test_index_deltas_searchable(spark, tmp_path_factory):
     )
     assert dup == 0, "delta segments alias base/delta (shard, local_id) slots"
 
+    # the running per-shard offsets persisted in the manifest must equal
+    # the actual layout maxima (so later batches/restarts can skip the
+    # full base+delta metadata scan)
+    offs = {int(s): int(m) for s, m in store.manifest["stream_offsets"].items()}
+    exp_offs = {
+        int(r["shard"]): int(r["mx"])
+        for r in layout.groupBy("shard").agg(F.max("local_id").alias("mx")).collect()
+    }
+    assert offs == exp_offs, (offs, exp_offs)
+
+    # /api/stats must count streamed docs too (base docs + delta full_docs)
+    from chavinha_mini_search_engine_spark.api import SearchAPI
+
+    api = SearchAPI(spark, store, cfg)
+    exp_total = (
+        store.read(spark, "docs").count()
+        + store.read_parts(spark, "unified_delta")
+        .filter(F.col("doc_type") == "full_doc").count()
+    )
+    st_resp = api.stats()
+    assert st_resp.total_documents == exp_total, (
+        st_resp.total_documents, exp_total,
+    )
+    assert sum(d.document_count for d in st_resp.domains) == exp_total
+
     # a doc only present in the delta is retrievable end-to-end
     import hashlib
 
