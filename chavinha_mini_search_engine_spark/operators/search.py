@@ -95,7 +95,240 @@ def _query_terms(query: str) -> List[str]:
     return out
 
 
-# ---------------- scoring kernels ----------------
+# ---------------- scoring core (numpy, shared by both serve paths) -------
+#
+# The Spark path converts each cogroup's pandas frames to these array
+# structures per call; the resident path (operators/serve.py) builds them
+# ONCE at load time -- profiling showed the per-query hot path was ~90%
+# pandas frame overhead (getitem/sort_values/groupby/DataFrame init), not
+# scoring work, so everything below the conversion boundary is numpy-only.
+
+
+class ShardState:
+    """Per-shard attribute arrays, sorted by local_id (dense positions)."""
+
+    __slots__ = (
+        "n_docs", "ids", "ids_sort", "parents", "doc_types",
+        "parent_doc_types", "dedup_keys", "lens", "is_full", "sem_bucket",
+        "_emb_vals", "_emb64", "_has_emb",
+    )
+
+    def embmat(self, dim: int):
+        """(n, dim) float64 embedding matrix + has-embedding mask, built
+        lazily and cached (the resident path reuses it across queries).
+        Docs without a stored embedding of the right dim get a zero row and
+        has=False -- closeness 0.0, the normative choice matching
+        oracle/scorer.py."""
+        if self._emb64 is None or self._emb64.shape[1] != dim:
+            vals = self._emb_vals
+            has = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            m = np.zeros((len(vals), dim), dtype=np.float64)
+            ok = np.flatnonzero(has)
+            if ok.size:
+                m[ok] = np.stack([np.asarray(vals[i], dtype=np.float64) for i in ok])
+            self._emb64, self._has_emb = m, has
+        return self._emb64, self._has_emb
+
+
+def shard_state(attr_pdf: pd.DataFrame) -> ShardState:
+    """pandas attributes -> ShardState (the only pandas-touching step)."""
+    st = ShardState()
+    lid = np.asarray(attr_pdf["local_id"].values, dtype=np.int64)
+    order = np.argsort(lid)
+    st.n_docs = int(lid[order[-1]]) + 1
+    st.ids = attr_pdf["id"].values[order]
+    st.ids_sort = st.ids.astype(str)          # lexsort-able tie-break key
+    st.parents = attr_pdf["parent_id"].values[order]
+    st.doc_types = attr_pdf["doc_type"].values[order]
+    st.parent_doc_types = attr_pdf["parent_doc_type"].values[order]
+    st.dedup_keys = np.where(
+        pd.isna(st.parents), st.ids, st.parents
+    ).astype(str)
+    st.lens = {
+        f: np.asarray(attr_pdf[f"len_{f}"].values, dtype=np.float64)[order]
+        for f in INDEXED_FIELDS
+    }
+    st.is_full = st.doc_types == "full_doc"
+    if "sem_bucket" in attr_pdf.columns:
+        sb = attr_pdf["sem_bucket"].values[order]
+        st.sem_bucket = np.where(pd.isna(sb), -1, sb).astype(np.int64)
+    else:
+        st.sem_bucket = np.full(len(st.ids), -1, dtype=np.int64)
+    st._emb_vals = (
+        attr_pdf["embedding"].values[order]
+        if "embedding" in attr_pdf.columns else np.full(len(st.ids), None)
+    )
+    st._emb64 = None
+    return st
+
+
+def post_groups(post_pdf: pd.DataFrame) -> list:
+    """pandas posting blocks -> [(field, term, firsts, lasts, maxs, ns,
+    doc_bytes, tf_bytes)], each group's blocks sorted by first_local so the
+    ranges are disjoint ascending intervals (base blocks are consecutive id
+    chunks; delta-segment ids are shifted past every earlier segment)."""
+    out = []
+    for (field, term), g in post_pdf.groupby(["field", "term"], sort=False):
+        if not g["first_local"].is_monotonic_increasing:
+            g = g.sort_values("first_local")
+        out.append((
+            field, term,
+            g["first_local"].values.astype(np.int64),
+            g["last_local"].values.astype(np.int64),
+            g["max_score"].values.astype(np.float64),
+            g["n"].values.astype(np.int64),
+            g["doc_bytes"].values, g["tf_bytes"].values,
+        ))
+    return out
+
+
+def _closeness_at(state: ShardState, q64: np.ndarray, idxs: np.ndarray):
+    """Vespa closeness(angular) = 1/(1+arccos(cos)) at positions ``idxs``;
+    no-embedding docs score 0.0 (see ShardState.embmat)."""
+    if not len(idxs):
+        return np.zeros(0), np.zeros(0, dtype=bool)
+    m, has = state.embmat(len(q64))
+    sims = np.clip(m[idxs] @ q64, -1.0, 1.0)
+    cl = 1.0 / (1.0 + np.arccos(sims))
+    h = has[idxs]
+    cl[~h] = 0.0
+    return cl, h
+
+
+def score_shard(
+    state: ShardState,
+    groups: list,
+    term_payload: Dict[Tuple[str, str], Tuple[float, float]],
+    avgdl: Dict[str, float],
+    k1: float,
+    b: float,
+    k: int,
+    mode: str,
+    q64: Optional[np.ndarray],
+    full_only: bool,
+    probe_buckets: Optional[list] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Scores one shard; returns (candidate positions, scores), un-deduped.
+
+    Block-max pruning evaluates the skip test for ALL blocks of a term at
+    once (np.maximum.reduceat over the accumulator -- within one term the
+    block ranges are disjoint, so skip decisions are traversal-order
+    independent), then decodes the SURVIVING blocks in one varbyte/delta
+    pass over their concatenated payloads (the codec is self-delimiting; a
+    per-block cumsum correction re-bases each block's ids).  One
+    fancy-indexed accumulate per term -- safe because a doc appears in
+    exactly one block of a term's posting list.
+
+    Hybrid pruning (doc.sd:165-176 blend): the blended score is not
+    monotone in the BM25 accumulator alone, but sigmoid is monotone and
+    closeness <= 1.0, so ``W_bm25*sigmoid(ub_bm25/s) + W_sem*1.0 < theta``
+    is a sound skip test; theta comes from exact lower bounds (sigmoid of
+    current acc + EXACT closeness) of the current top-k-by-acc candidates.
+    Lossless by the standard WAND argument (a skipped block's docs are
+    provably below the k-th best final score; docs that reach the top-k
+    never had a block skipped, so their scores are exact); pruned ==
+    exhaustive is asserted for both modes in tests.
+    """
+    n_docs = state.n_docs
+    acc = np.zeros(n_docs, dtype=np.float64)
+    touched = np.zeros(n_docs, dtype=bool)
+    sig_w, cl_w = HYBRID_BM25_WEIGHT, HYBRID_SEM_WEIGHT
+
+    if mode in ("bm25", "hybrid") and groups:
+        assert len(state.ids) == n_docs, "attributes must be dense per shard"
+        entries = []
+        for (field, term, firsts, lasts, maxs, ns, docb, tfb) in groups:
+            wi = term_payload.get((field, term))
+            if wi is None:
+                continue
+            w, idf = wi
+            entries.append(
+                (field, w, idf, float(maxs.max()) * w,
+                 firsts, lasts, maxs, ns, docb, tfb)
+            )
+        entries.sort(key=lambda e: -e[3])
+        suffix = np.cumsum([e[3] for e in entries][::-1])[::-1]
+        theta = -math.inf
+        for i, (field, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
+                in enumerate(entries):
+            rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
+            adl = avgdl[field]
+            dl = state.lens[field]
+            if theta > -math.inf:
+                idx = np.empty(2 * len(firsts), dtype=np.int64)
+                idx[0::2] = firsts
+                idx[1::2] = lasts + 1
+                if idx[-1] >= n_docs:
+                    idx = idx[:-1]  # final segment runs to the end
+                seg_max = np.maximum.reduceat(acc, idx)[0::2]
+                ub = seg_max + maxs * w + rem_after
+                if mode == "hybrid":
+                    ub = sig_w / (1.0 + np.exp(-ub / HYBRID_SIGMOID_SCALE)) + cl_w
+                sel = np.flatnonzero(ub >= theta)
+                if sel.size == 0:
+                    continue
+                if sel.size < len(ns):
+                    ns = ns[sel]
+                    docb, tfb = docb[sel], tfb[sel]
+            total = int(ns.sum())
+            gaps = varbyte_decode(b"".join(docb), total)
+            ids_all = np.cumsum(gaps, dtype=np.uint64)
+            ends = np.cumsum(ns)
+            offs = np.zeros(len(ns), dtype=np.uint64)
+            offs[1:] = ids_all[ends[:-1] - 1]
+            bl_ids = (ids_all - np.repeat(offs, ns)).astype(np.int64)
+            tfs = varbyte_decode(b"".join(tfb), total).astype(np.float64)
+            denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
+            # plain fancy += (not add.at): ids are unique within a term
+            acc[bl_ids] += w * (idf * tfs / denom)
+            touched[bl_ids] = True
+            # theta = k-th best lower bound among eligible docs
+            if mode == "bm25" and touched.any():
+                cand = acc[touched & state.is_full] if full_only else acc[touched]
+                if cand.size >= k:
+                    theta = float(np.partition(cand, -k)[-k])
+            elif mode == "hybrid" and touched.any():
+                t_idx = np.flatnonzero(touched)
+                if t_idx.size >= k:
+                    top = t_idx[np.argpartition(acc[t_idx], -k)[-k:]]
+                    cl_top, _ = _closeness_at(state, q64, top)
+                    lb = (
+                        sig_w / (1.0 + np.exp(-acc[top] / HYBRID_SIGMOID_SCALE))
+                        + cl_w * cl_top
+                    )
+                    theta = max(theta, float(lb.min()))
+
+    if mode == "bm25":
+        idxs = np.flatnonzero(touched & state.is_full if full_only else touched)
+        return idxs, acc[idxs]
+    if mode == "hybrid":
+        idxs = np.flatnonzero(touched)
+        sig = 1.0 / (1.0 + np.exp(-acc[idxs] / HYBRID_SIGMOID_SCALE))
+        cl, _ = _closeness_at(state, q64, idxs)
+        return idxs, sig_w * sig + cl_w * cl
+    # semantic: chunk docs WITH a stored embedding (scorer.py:144); lsh
+    # mode additionally restricts to the query's probed sem_buckets
+    cand = ~state.is_full
+    if probe_buckets is not None:
+        cand &= np.isin(state.sem_bucket, probe_buckets)
+    idxs = np.flatnonzero(cand)
+    scores, has = _closeness_at(state, q64, idxs)
+    return idxs[has], scores[has]
+
+
+def topk_dedup(state: ShardState, cand: np.ndarray, scores: np.ndarray,
+               k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Best (score desc, id asc) per dedup key (parent_id else id), top k;
+    returns (positions, scores) ordered by (score desc, id asc)."""
+    order = np.lexsort((state.ids_sort[cand], -scores))
+    c, s = cand[order], scores[order]
+    keys = state.dedup_keys[c]
+    _, first = np.unique(keys, return_index=True)  # smallest index per key
+    keep = np.sort(first)[:k]
+    return c[keep], s[keep]
+
 
 def _bm25_shard_kernel(
     term_payload: Dict[Tuple[str, str], Tuple[float, float]],
@@ -107,39 +340,22 @@ def _bm25_shard_kernel(
     query_vec: Optional[np.ndarray],
     full_only: bool,
 ):
-    """Builds the cogroup kernel.  All query state (term -> (field_weight,
-    idf), per-field avgdl, k1/b, query embedding) is captured in the
-    closure, so cloudpickle ships it to the Python workers with the UDF --
-    the Spark-idiomatic "broadcast the query" (SURVEY.md J4).
+    """Builds the cogroup kernel -- a thin pandas wrapper over the numpy
+    core (shard_state / post_groups / score_shard / topk_dedup above).  All
+    query state (term -> (field_weight, idf), per-field avgdl, k1/b, query
+    embedding) is captured in the closure, so cloudpickle ships it to the
+    Python workers with the UDF -- the Spark-idiomatic "broadcast the
+    query" (SURVEY.md J4).
 
-    Blocks carry (delta docids, varbyte tf); the kernel recomputes
+    Blocks carry (delta docids, varbyte tf); the core recomputes
     score = idf * tf / (tf + k1*(1-b+b*dl/avgdl)) in float64 from tf +
     attribute lengths so results match the oracle bit-for-bit; the
     build-time ``max_score`` (same float64 expression) is a valid per-block
-    upper bound for pruning.
-
-    Hot-loop shape: per (field, term) the kernel evaluates the block-max
-    skip test for ALL blocks at once (np.maximum.reduceat over the
-    accumulator -- block local-id ranges are disjoint and ascending, so
-    skip decisions within one term are traversal-order independent), then
-    concatenates the SURVIVING blocks' byte payloads and decodes them in
-    ONE varbyte/delta pass (the codec is self-delimiting, so a single
-    decode over the joined buffer + a per-block cumsum correction replaces
-    thousands of per-block python iterations).  One fancy-indexed
-    accumulate per term -- safe because a doc appears in exactly one block
-    of a term's posting list.
-
-    Hybrid pruning (doc.sd:165-176 blend): the blended score is not
-    monotone in the BM25 accumulator alone, but sigmoid is monotone and
-    closeness <= 1.0, so
-    ``W_bm25*sigmoid(ub_bm25/s) + W_sem*1.0 < theta`` is a sound skip
-    test; theta comes from exact lower bounds (sigmoid of current acc +
-    EXACT closeness) of the current top-k-by-acc candidates -- k vectors
-    per term, cheap.  Lossless by the standard WAND argument (a skipped
-    block's docs are provably below the k-th best final score; docs that
-    reach the top-k never had a block skipped, so their scores are exact);
-    pruned == exhaustive is asserted for both modes in tests.
+    upper bound for pruning (see score_shard for the pruning semantics).
     """
+    q64 = (
+        np.asarray(query_vec, dtype=np.float64) if query_vec is not None else None
+    )
 
     def kernel(post_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -147,150 +363,23 @@ def _bm25_shard_kernel(
         )
         if len(attr_pdf) == 0:
             return empty
-        order = np.argsort(attr_pdf["local_id"].values)
-        attr = attr_pdf.iloc[order]
-        n_docs = int(attr["local_id"].values[-1]) + 1 if len(attr) else 0
-        ids = attr["id"].values
-        lens = {
-            f: np.asarray(attr[f"len_{f}"].values, dtype=np.float64)
-            for f in INDEXED_FIELDS
-        }
-        is_full = (attr["doc_type"].values == "full_doc")
-
-        acc = np.zeros(n_docs, dtype=np.float64)
-        touched = np.zeros(n_docs, dtype=bool)
-
-        def _closeness(idxs_):
-            """Vespa closeness(angular) = 1/(1+arccos(cos)); docs without a
-            stored embedding (index built with_embeddings=False, streamed
-            delta segments) score 0.0 -- the normative choice, matching
-            oracle/scorer.py so hybrid over deltas cannot hand every
-            embedding-less doc a constant ~0.19 bonus."""
-            if not len(idxs_):
-                return np.zeros(0), np.zeros(0, dtype=bool)
-            dim = len(query_vec)
-            vals = attr["embedding"].values[idxs_]
-            has = np.array(
-                [v is not None and len(v) == dim for v in vals], dtype=bool
-            )
-            emb = np.stack([
-                v if ok else np.zeros(dim, dtype=np.float32)
-                for v, ok in zip(vals, has)
-            ]).astype(np.float64)
-            sims = np.clip(emb @ query_vec.astype(np.float64), -1.0, 1.0)
-            cl = 1.0 / (1.0 + np.arccos(sims))
-            cl[~has] = 0.0
-            return cl, has
-
-        if mode in ("bm25", "hybrid") and len(post_pdf):
-            assert len(attr) == n_docs, "attributes must be dense per shard"
-            # per-(field, term) block arrays, sorted by first_local so the
-            # block ranges are disjoint ascending intervals (base blocks
-            # are consecutive id chunks; delta-segment ids are shifted past
-            # every earlier segment, streaming/incremental.py)
-            entries = []
-            for (field, term), g in post_pdf.groupby(["field", "term"], sort=False):
-                wi = term_payload.get((field, term))
-                if wi is None:
-                    continue
-                w, idf = wi
-                if not g["first_local"].is_monotonic_increasing:
-                    g = g.sort_values("first_local")
-                entries.append((
-                    field, w, idf, float(g["max_score"].max()) * w,
-                    g["first_local"].values.astype(np.int64),
-                    g["last_local"].values.astype(np.int64),
-                    g["max_score"].values.astype(np.float64),
-                    g["n"].values.astype(np.int64),
-                    g["doc_bytes"].values, g["tf_bytes"].values,
-                ))
-            entries.sort(key=lambda e: -e[3])
-            suffix = np.cumsum([e[3] for e in entries][::-1])[::-1]
-            theta = -math.inf
-            sig_w, cl_w = HYBRID_BM25_WEIGHT, HYBRID_SEM_WEIGHT
-            for i, (field, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
-                    in enumerate(entries):
-                rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
-                adl = avgdl[field]
-                dl = lens[field]
-                if theta > -math.inf:
-                    # block-max skip test, all blocks of this term at once
-                    idx = np.empty(2 * len(firsts), dtype=np.int64)
-                    idx[0::2] = firsts
-                    idx[1::2] = lasts + 1
-                    if idx[-1] >= n_docs:
-                        idx = idx[:-1]  # final segment runs to the end
-                    seg_max = np.maximum.reduceat(acc, idx)[0::2]
-                    ub = seg_max + maxs * w + rem_after
-                    if mode == "hybrid":
-                        ub = sig_w / (1.0 + np.exp(-ub / HYBRID_SIGMOID_SCALE)) + cl_w
-                    sel = np.flatnonzero(ub >= theta)
-                    if sel.size == 0:
-                        continue
-                    if sel.size < len(ns):
-                        firsts, ns = firsts[sel], ns[sel]
-                        docb, tfb = docb[sel], tfb[sel]
-                # batched decode of the surviving blocks: one pass over the
-                # concatenated buffers, then un-offset each block's cumsum
-                total = int(ns.sum())
-                gaps = varbyte_decode(b"".join(docb), total)
-                ids_all = np.cumsum(gaps, dtype=np.uint64)
-                ends = np.cumsum(ns)
-                offs = np.zeros(len(ns), dtype=np.uint64)
-                offs[1:] = ids_all[ends[:-1] - 1]
-                bl_ids = (ids_all - np.repeat(offs, ns)).astype(np.int64)
-                tfs = varbyte_decode(b"".join(tfb), total).astype(np.float64)
-                denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
-                # plain fancy += (not add.at): ids are unique within a term
-                acc[bl_ids] += w * (idf * tfs / denom)
-                touched[bl_ids] = True
-                # theta = k-th best lower bound among eligible docs
-                if mode == "bm25" and touched.any():
-                    cand = acc[touched & is_full] if full_only else acc[touched]
-                    if cand.size >= k:
-                        theta = float(np.partition(cand, -k)[-k])
-                elif mode == "hybrid" and touched.any():
-                    t_idx = np.flatnonzero(touched)
-                    if t_idx.size >= k:
-                        top = t_idx[np.argpartition(acc[t_idx], -k)[-k:]]
-                        cl_top, _ = _closeness(top)
-                        lb = (
-                            sig_w / (1.0 + np.exp(-acc[top] / HYBRID_SIGMOID_SCALE))
-                            + cl_w * cl_top
-                        )
-                        theta = max(theta, float(lb.min()))
-
-        if mode == "bm25":
-            sel = touched & is_full if full_only else touched
-            idxs = np.flatnonzero(sel)
-            scores = acc[idxs]
-        elif mode == "hybrid":
-            idxs = np.flatnonzero(touched)
-            sig = 1.0 / (1.0 + np.exp(-acc[idxs] / HYBRID_SIGMOID_SCALE))
-            cl, _ = _closeness(idxs)
-            scores = HYBRID_BM25_WEIGHT * sig + HYBRID_SEM_WEIGHT * cl
-        else:  # semantic: chunk docs WITH a stored embedding (scorer.py:144)
-            idxs = np.flatnonzero(~is_full)
-            scores, has = _closeness(idxs)
-            idxs, scores = idxs[has], scores[has]
-
-        if len(idxs) == 0:
+        state = shard_state(attr_pdf)
+        groups = post_groups(post_pdf) if len(post_pdf) else []
+        cand, scores = score_shard(
+            state, groups, term_payload, avgdl, k1, b, k, mode, q64, full_only,
+        )
+        if len(cand) == 0:
             return empty
-
-        out = pd.DataFrame(
+        keep, s = topk_dedup(state, cand, scores, k)
+        return pd.DataFrame(
             {
-                "id": ids[idxs],
-                "parent_id": attr["parent_id"].values[idxs],
-                "doc_type": attr["doc_type"].values[idxs],
-                "parent_doc_type": attr["parent_doc_type"].values[idxs],
-                "score": scores,
+                "id": state.ids[keep],
+                "parent_id": state.parents[keep],
+                "doc_type": state.doc_types[keep],
+                "parent_doc_type": state.parent_doc_types[keep],
+                "score": s,
             }
         )
-        # local per-parent dedup: keep best (score desc, id asc) per parent
-        out["dedup_key"] = out["parent_id"].where(out["parent_id"].notna(), out["id"])
-        out = out.sort_values(["score", "id"], ascending=[False, True])
-        out = out.drop_duplicates("dedup_key", keep="first").drop(columns="dedup_key")
-        return out.head(k)
 
     return kernel
 

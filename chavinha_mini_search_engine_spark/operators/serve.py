@@ -17,8 +17,11 @@ scatter/gather layer merges per-shard top-k -- the same global merge
 all shards, matching the reference's single-node Vespa.
 
 Rank/score parity with SearchEngine is asserted in tests/test_serve.py:
-both paths share ``_bm25_shard_kernel`` (operators/search.py), so scoring,
-pruning, dedup and enrichment semantics are identical by construction.
+both paths share the numpy scoring core (operators/search.py score_shard /
+topk_dedup -- the Spark path wraps it in the applyInPandas kernel), so
+scoring, pruning, dedup and enrichment semantics are identical by
+construction.  Here the pandas->numpy conversion (shard_state/post_groups)
+runs ONCE at load; warm queries touch no pandas at all.
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ from ..config import (
 )
 from ..oracle.embedder import embed_text
 from ..sources.tables import IndexStore
-from .search import _bm25_shard_kernel, _dynamic_snippet, _query_terms, clean_snippet
+from .search import _dynamic_snippet, _query_terms, clean_snippet
 
 ATTR_COLS = [
     "shard", "local_id", "id", "doc_type", "parent_id", "parent_doc_type",
@@ -100,24 +103,29 @@ class ResidentSearcher:
             (r.field, r.term): (float(r.idf), int(r.df)) for r in td.itertuples()
         }
 
-        # attributes -> one pandas frame per shard, sorted by local_id
+        # attributes -> one precomputed numpy ShardState per shard: the
+        # pandas->numpy conversion happens ONCE here instead of on every
+        # query (profiling showed ~90% of warm-query time was pandas frame
+        # overhead inside the per-shard kernel)
+        from .search import post_groups, shard_state
+
         attrs = _read_parts_arrow(store.path("attributes"), ATTR_COLS)
         if store.exists("attributes_delta"):
             attrs = pd.concat(
                 [attrs, _read_parts_arrow(store.path("attributes_delta"), ATTR_COLS)],
                 ignore_index=True,
             )
-        self.attr_by_shard: Dict[int, pd.DataFrame] = {
-            int(s): g.sort_values("local_id").reset_index(drop=True)
-            for s, g in attrs.groupby("shard")
+        self.state_by_shard = {
+            int(s): shard_state(g) for s, g in attrs.groupby("shard")
         }
 
-        # postings -> dict[(field, term, shard)] -> block frame
+        # postings -> dict[(field, term, shard)] -> block array group
+        # (field, term, firsts, lasts, maxs, ns, doc_bytes, tf_bytes)
         post = _read_parts_arrow(store.path("postings"), POST_COLS)
-        self.post_by_key: Dict[Tuple[str, str, int], pd.DataFrame] = {
-            (f, t, int(s)): g.reset_index(drop=True)
-            for (f, t, s), g in post.groupby(["field", "term", "shard"], sort=False)
-        }
+        self.post_by_key: Dict[Tuple[str, str, int], tuple] = {}
+        for s, g in post.groupby("shard", sort=False):
+            for grp in post_groups(g):
+                self.post_by_key[(grp[0], grp[1], int(s))] = grp
 
         # doc store for enrichment: kept LAZY -- content is the widest
         # column in the system, and a resident dict of every content string
@@ -131,8 +139,6 @@ class ResidentSearcher:
         self._doc_datasets = self._doc_handles(store.path("unified"))
         if store.exists("unified_delta"):
             self._doc_datasets += self._doc_handles(store.path("unified_delta"))
-
-        self._empty_post = pd.DataFrame({c: [] for c in POST_COLS})
 
     @staticmethod
     def _doc_handles(root: str) -> list:
@@ -174,11 +180,8 @@ class ResidentSearcher:
         if search_type != "semantic" and not term_payload:
             return []
         qvec = embed_text(query) if search_type in ("semantic", "hybrid") else None
+        q64 = np.asarray(qvec, dtype=np.float64) if qvec is not None else None
         avgdl = {f: self.stats.get(f, (0, 1.0))[1] or 1.0 for f in INDEXED_FIELDS}
-        kernel = _bm25_shard_kernel(
-            term_payload, avgdl, self.cfg.k1, self.cfg.b, k, search_type,
-            qvec, full_only=(search_type == "bm25"),
-        )
 
         probes = None
         if search_type == "semantic" and semantic_mode == "lsh":
@@ -188,39 +191,58 @@ class ResidentSearcher:
             # probe_radius hamming bits of the query's bucket.
             from .search import semantic_probes
 
-            probes = set(semantic_probes(self.cfg, qvec))
+            probes = semantic_probes(self.cfg, qvec)
 
-        outs = []
-        for shard, attr in self.attr_by_shard.items():
+        # per-shard numpy core (same score_shard/topk_dedup the Spark
+        # kernel wraps), zero pandas in the loop
+        from .search import score_shard, topk_dedup
+
+        full_only = search_type == "bm25"
+        sel_ids, sel_sort, sel_keys = [], [], []
+        sel_parents, sel_dts, sel_pdts, sel_scores = [], [], [], []
+        for shard, state in self.state_by_shard.items():
             if search_type == "semantic":
-                if probes is not None:
-                    attr = attr[attr["sem_bucket"].isin(probes)]
-                    if attr.empty:
-                        continue
-                post = self._empty_post
+                groups = []
             else:
-                blocks = [
+                groups = [
                     self.post_by_key[key]
                     for (f, t) in term_payload
                     if (key := (f, t, shard)) in self.post_by_key
                 ]
-                if not blocks:
+                if not groups:
                     continue
-                post = pd.concat(blocks, ignore_index=True)
-            outs.append(kernel(post, attr))
-        if not outs:
+            cand, scores = score_shard(
+                state, groups, term_payload, avgdl, self.cfg.k1, self.cfg.b,
+                k, search_type, q64, full_only, probe_buckets=probes,
+            )
+            if not len(cand):
+                continue
+            keep, s = topk_dedup(state, cand, scores, k)
+            sel_ids.append(state.ids[keep])
+            sel_sort.append(state.ids_sort[keep])
+            sel_keys.append(state.dedup_keys[keep])
+            sel_parents.append(state.parents[keep])
+            sel_dts.append(state.doc_types[keep])
+            sel_pdts.append(state.parent_doc_types[keep])
+            sel_scores.append(s)
+        if not sel_ids:
             return []
-        merged = pd.concat(outs, ignore_index=True)
-        if merged.empty:
-            return []
-        # global parent dedup + deterministic tie-break (D1), as in
-        # SearchEngine's window
-        merged["dedup_key"] = merged["parent_id"].where(
-            merged["parent_id"].notna(), merged["id"]
-        )
-        merged = merged.sort_values(["score", "id"], ascending=[False, True])
-        merged = merged.drop_duplicates("dedup_key", keep="first").head(k)
-        return self._enrich(merged, terms)
+        # global merge across shards: parent dedup + deterministic
+        # tie-break (D1), as in SearchEngine's window -- <= shards*k rows
+        ids = np.concatenate(sel_ids)
+        scores = np.concatenate(sel_scores)
+        order = np.lexsort((np.concatenate(sel_sort), -scores))
+        keys = np.concatenate(sel_keys)[order]
+        _, first = np.unique(keys, return_index=True)
+        keep = order[np.sort(first)[:k]]
+        parents = np.concatenate(sel_parents)
+        dts = np.concatenate(sel_dts)
+        pdts = np.concatenate(sel_pdts)
+        hits = [
+            (ids[i], parents[i], dts[i], pdts[i], float(scores[i]))
+            for i in keep
+        ]
+        return self._enrich(hits, terms)
 
     def _fetch_docrows(self, ids: List[str]) -> Dict[str, tuple]:
         """Fetch the <=k hit rows from the parquet doc store: shard dirs
@@ -244,23 +266,26 @@ class ResidentSearcher:
                 out[r.id] = (r.url, r.domain, r.title, r.content, r.chunk_content)
         return out
 
-    def _enrich(self, hits: pd.DataFrame, terms: List[str]) -> List[dict]:
-        docrows = self._fetch_docrows(list(hits["id"]))
+    def _enrich(self, hits: List[tuple], terms: List[str]) -> List[dict]:
+        """hits: [(id, parent_id, doc_type, parent_doc_type, score)] in
+        final rank order."""
+        docrows = self._fetch_docrows([h[0] for h in hits])
         out = []
-        for rank, h in enumerate(hits.itertuples(), 1):
-            m = docrows.get(h.id)
+        for rank, (hid, parent_id, doc_type, parent_doc_type, score) \
+                in enumerate(hits, 1):
+            m = docrows.get(hid)
             url, domain, title, content, chunk_content = m or ("", "", "", "", "")
-            if h.doc_type == "chunk":
+            if doc_type == "chunk":
                 snippet = chunk_content or ""
-                rid = h.parent_id or h.id
+                rid = parent_id or hid
             else:
                 snippet = _dynamic_snippet(content or "", terms)
-                rid = h.id
+                rid = hid
             out.append({
                 "rank": rank, "id": rid, "url": url,
                 "title": title or "Untitled",
                 "snippet": clean_snippet(snippet), "domain": domain,
-                "relevance": float(h.score),
-                "doc_type": h.parent_doc_type or h.doc_type or "general",
+                "relevance": float(score),
+                "doc_type": parent_doc_type or doc_type or "general",
             })
         return out
