@@ -494,10 +494,16 @@ def _index_stages_from_unified(
         tf = tf.withColumn(
             "grp", F.pmod(F.col("shard"), F.lit(cfg.shard_groups)).cast("int")
         )
-        store.write(
-            tf.repartition(spark.sparkContext.defaultParallelism * 2, "grp", "shard"),
-            "tf", partition_by=["grp"],
+        # with >1 shard-groups, co-locate each grp before the partitioned
+        # write (otherwise tasks x groups small files, each local-FS commit
+        # forking chmod).  With ONE group the tokenize groupBy's output
+        # geometry is already fine and the repartition would re-shuffle the
+        # full tf table for nothing -- at 3.84M pages that extra pass was a
+        # measured drag on the stats stage (BENCH_SCALING.md round 2).
+        tf_w = tf if cfg.shard_groups == 1 else tf.repartition(
+            spark.sparkContext.defaultParallelism * 2, "grp", "shard"
         )
+        store.write(tf_w, "tf", partition_by=["grp"])
         tf = store.read(spark, "tf")
         stats = corpus_stats(tf)
         store.write(stats, "corpus_stats")

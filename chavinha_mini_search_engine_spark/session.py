@@ -54,6 +54,15 @@ def get_spark(
         # each exec (measured ~25% faster partitioned writes at 16g heap)
         .config("spark.driver.extraJavaOptions",
                 "-Djdk.lang.Process.launchMechanism=POSIX_SPAWN")
+        # commit task output directly into the job dir at TASK commit
+        # (v2): the per-file renames run in parallel across tasks instead
+        # of as one serial driver-side loop at job commit -- that loop is
+        # a parallelism-independent constant that caps N->4N scaling
+        # efficiency (BENCH_SCALING.md).  Crash-consistency is unchanged
+        # for this store: IndexStore.write stages every job into a tmp dir
+        # and renames it into place only after success.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")

@@ -56,8 +56,14 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
     # level, which reads as fake anti-scaling).  Kept moderate overall: a
     # 48g heap made every local-FS commit fork brutally slow (round 1).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{8 + cpus // 2}g")
+    # cpus*4 shuffle partitions: the encode/merge applyInPandas stages run
+    # each reduce partition's groups serially in one python worker, so at
+    # cpus*2 the largest partition is a measured straggler tail (round 2:
+    # 7/8 cores idle in the final minutes of the local[4] postings stage);
+    # 4x cores gives the scheduler slack to balance without shrinking
+    # per-task batches below Arrow efficiency
     spark = get_spark(
-        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 4
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
