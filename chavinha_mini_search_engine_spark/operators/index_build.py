@@ -494,16 +494,20 @@ def _index_stages_from_unified(
         tf = tf.withColumn(
             "grp", F.pmod(F.col("shard"), F.lit(cfg.shard_groups)).cast("int")
         )
-        # with >1 shard-groups, co-locate each grp before the partitioned
-        # write (otherwise tasks x groups small files, each local-FS commit
-        # forking chmod).  With ONE group the tokenize groupBy's output
-        # geometry is already fine and the repartition would re-shuffle the
-        # full tf table for nothing -- at 3.84M pages that extra pass was a
-        # measured drag on the stats stage (BENCH_SCALING.md round 2).
-        tf_w = tf if cfg.shard_groups == 1 else tf.repartition(
-            spark.sparkContext.defaultParallelism * 2, "grp", "shard"
+        # co-locate tf by shard before the write -- this is a LAYOUT
+        # INVESTMENT, not just small-file control: every downstream
+        # consumer aggregates on (shard, local_id)-prefixed keys
+        # (corpus_stats distinct, attributes' lens pivot), and shard-
+        # colocated input lets their map-side partial aggs collapse rows
+        # before shuffling.  A/B at 3.84M pages (BENCH_SCALING.md round 3):
+        # skipping this repartition saved ~117 s in `stats` at local[4]
+        # but doubled the attributes stage at BOTH parallelism levels
+        # (hash-scattered (shard, local_id) rows defeat partial
+        # aggregation), a net loss at the 4N level.
+        store.write(
+            tf.repartition(spark.sparkContext.defaultParallelism * 2, "grp", "shard"),
+            "tf", partition_by=["grp"],
         )
-        store.write(tf_w, "tf", partition_by=["grp"])
         tf = store.read(spark, "tf")
         stats = corpus_stats(tf)
         store.write(stats, "corpus_stats")

@@ -610,19 +610,40 @@ class SearchEngine:
 
 
 def _dynamic_snippet(content: str, terms: List[str], width: int = 250) -> str:
-    """Normative dynamic snippet: the window around the first query-term
-    occurrence, word-aligned, <sep/>-style ellipses; falls back to
-    content[:250] + '...' (api/main.py:499-503)."""
+    """Normative dynamic snippet, modeling Vespa's ``dynamic`` summary
+    (doc.sd:112-123): among the windows centered on each query-term
+    occurrence, pick the BEST-scoring one -- most distinct query terms
+    covered, then most total occurrences, then earliest (deterministic; a
+    single-term match degenerates to the first-occurrence window).
+    Word-aligned start, <sep/>-style ellipses; Vespa's <hi> highlights are
+    omitted because the reference strips them anyway (api/main.py:164-170).
+    Falls back to content[:250] + '...' (api/main.py:499-503)."""
     if not content:
         return ""
     low = content.lower()
-    pos = -1
-    for t in terms:
+    # all occurrence positions of all query terms (bounded for degenerate
+    # repetitive content; 1000 candidates is plenty for a 250-char window)
+    occ: List[Tuple[int, int]] = []
+    for ti, t in enumerate(terms):
         p = low.find(t)
-        if p >= 0 and (pos < 0 or p < pos):
-            pos = p
-    if pos < 0:
+        while p >= 0 and len(occ) < 1000:
+            occ.append((p, ti))
+            p = low.find(t, p + 1)
+    if not occ:
         return content[:SNIPPET_FALLBACK_CHARS] + "..." if len(content) > SNIPPET_FALLBACK_CHARS else content
+    occ.sort()
+    positions = [p for p, _ in occ]
+    import bisect
+
+    pos, best_key = occ[0][0], None
+    for p, _ti in occ:
+        w_start = max(0, p - width // 2)
+        lo = bisect.bisect_left(positions, w_start)
+        hi = bisect.bisect_right(positions, w_start + width - 1)
+        inside = occ[lo:hi]
+        key = (len({ti for _, ti in inside}), len(inside), -p)
+        if best_key is None or key > best_key:
+            best_key, pos = key, p
     start = max(0, pos - width // 2)
     end = min(len(content), start + width)
     if start > 0:

@@ -56,14 +56,13 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
     # level, which reads as fake anti-scaling).  Kept moderate overall: a
     # 48g heap made every local-FS commit fork brutally slow (round 1).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{8 + cpus // 2}g")
-    # cpus*4 shuffle partitions: the encode/merge applyInPandas stages run
-    # each reduce partition's groups serially in one python worker, so at
-    # cpus*2 the largest partition is a measured straggler tail (round 2:
-    # 7/8 cores idle in the final minutes of the local[4] postings stage);
-    # 4x cores gives the scheduler slack to balance without shrinking
-    # per-task batches below Arrow efficiency
+    # cpus*2 shuffle partitions: an A/B at 3.84M (round 3) measured
+    # cpus*4 -- tried against the round-2 merge straggler tail -- REGRESSED
+    # the local[16] postings stage by ~8-25% (more Arrow batches + python
+    # worker waves per group, no balance win at 2048 merge groups), so the
+    # round-2 setting stands
     spark = get_spark(
-        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 4
+        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
