@@ -170,6 +170,16 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         t = time.time()
         rs.search(matched_query, "semantic", 10, semantic_mode="lsh")
         timings["semantic_resident_lsh_ms"] = round((time.time() - t) * 1e3, 2)
+        # the corpus-derived matched query hits nearly EVERY synthetic doc
+        # (shared fixture vocabulary) -- a degenerate worst case for
+        # hybrid, which must score closeness for all matches.  Also report
+        # hybrid on the one SELECTIVE reference query this corpus matches,
+        # the closer apples-to-apples against the reference's 12.55 ms.
+        sq = "SELECT * FROM users WHERE id=1"
+        rs.search(sq, "hybrid", 10)
+        t = time.time()
+        rs.search(sq, "hybrid", 10)
+        timings["hybrid_resident_selective_ms"] = round((time.time() - t) * 1e3, 2)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

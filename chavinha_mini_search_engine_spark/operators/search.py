@@ -251,12 +251,31 @@ def score_shard(
         entries.sort(key=lambda e: -e[3])
         suffix = np.cumsum([e[3] for e in entries][::-1])[::-1]
         theta = -math.inf
+        # hybrid's skip test can only fire once theta exceeds the
+        # closeness ceiling contribution (every block ub >= cl_w by
+        # construction), so below that floor the bound evaluation is pure
+        # overhead and is skipped
+        prune_floor = cl_w if mode == "hybrid" else -math.inf
+        # per-doc closeness cache for the hybrid theta updates: the top-k
+        # candidate set barely changes between terms, so exact closeness
+        # is computed once per doc per query
+        cl_cache = None
+
+        def _closeness_cached(idxs_):
+            nonlocal cl_cache
+            if cl_cache is None:
+                cl_cache = np.full(n_docs, np.nan)
+            miss = idxs_[np.isnan(cl_cache[idxs_])]
+            if miss.size:
+                cl_cache[miss] = _closeness_at(state, q64, miss)[0]
+            return cl_cache[idxs_]
+
         for i, (field, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
                 in enumerate(entries):
             rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
             adl = avgdl[field]
             dl = state.lens[field]
-            if theta > -math.inf:
+            if theta > prune_floor:
                 idx = np.empty(2 * len(firsts), dtype=np.int64)
                 idx[0::2] = firsts
                 idx[1::2] = lasts + 1
@@ -293,10 +312,9 @@ def score_shard(
                 t_idx = np.flatnonzero(touched)
                 if t_idx.size >= k:
                     top = t_idx[np.argpartition(acc[t_idx], -k)[-k:]]
-                    cl_top, _ = _closeness_at(state, q64, top)
                     lb = (
                         sig_w / (1.0 + np.exp(-acc[top] / HYBRID_SIGMOID_SCALE))
-                        + cl_w * cl_top
+                        + cl_w * _closeness_cached(top)
                     )
                     theta = max(theta, float(lb.min()))
 
