@@ -28,7 +28,14 @@ from ..oracle.embedder import EMBED_TRUNCATE, embed_text
 
 
 def _load_model():
-    # one-time per-python-worker init point (indexer.py:58 analog)
+    # one-time per-python-worker init point (indexer.py:58 analog).
+    # Measured negative result (round 3): a fully batched variant
+    # (factorize tokens -> gather token-vector matrix -> add.reduceat per
+    # doc) ran ~5x SLOWER than this cached per-token accumulate -- the
+    # gather materializes (n_tokens x dim) float64 and doubles memory
+    # traffic, and the stage is bandwidth-bound, not overhead-bound.  A
+    # real model replaces this seam on GPU (the reference embeds there),
+    # where batching IS the win.
     return lambda texts: [embed_text(t) for t in texts]
 
 
