@@ -54,14 +54,18 @@ def get_spark(
         # each exec (measured ~25% faster partitioned writes at 16g heap)
         .config("spark.driver.extraJavaOptions",
                 "-Djdk.lang.Process.launchMechanism=POSIX_SPAWN")
-        # commit task output directly into the job dir at TASK commit
-        # (v2): the per-file renames run in parallel across tasks instead
-        # of as one serial driver-side loop at job commit -- that loop is
-        # a parallelism-independent constant that caps N->4N scaling
-        # efficiency (BENCH_SCALING.md).  Crash-consistency is unchanged
-        # for this store: IndexStore.write stages every job into a tmp dir
-        # and renames it into place only after success.
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # File-commit algorithm: v1 (serial driver-side rename at job
+        # commit) measured FASTER at high parallelism on this local FS --
+        # round-3 A/B at 3.84M pages/local[16]: v1 725.3 s vs v2 772.9-
+        # 842.2 s (postings 385 vs 416-478, attributes 26 vs 47-62).  v2
+        # moves the renames to task commit, so 16 task threads fork+exec
+        # chmod concurrently from one large-heap JVM -- fork cost scales
+        # with JVM page tables, and concurrent forks contend; v1 pays one
+        # serial loop instead.  On HDFS/S3A+Iceberg the committer story is
+        # different anyway (no per-file chmod forks); this knob is a
+        # sandbox-FS tuning, overridable via SPARK_GRAFT_COMMITTER_ALGO.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                os.environ.get("SPARK_GRAFT_COMMITTER_ALGO", "1"))
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
