@@ -120,7 +120,7 @@ class SearchAPI:
                 .filter(F.col("doc_type") == "full_doc")
                 .select("domain")
             )
-        if self.store.exists("unified_delta"):
+        if self.store.has_parts("unified_delta"):
             docs = docs.unionByName(
                 self.store.read_parts(self.spark, "unified_delta")
                 .filter(F.col("doc_type") == "full_doc")

@@ -603,7 +603,7 @@ def compact(
 
     def make_unified():
         u = base.read(spark, "unified")
-        if base.exists("unified_delta"):
+        if base.has_parts("unified_delta"):
             u = u.unionByName(base.read_parts(spark, "unified_delta"))
         return assign_layout(u.drop("shard", "local_id"), cfg)
 

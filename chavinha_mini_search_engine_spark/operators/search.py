@@ -425,11 +425,11 @@ class SearchEngine:
         self._unified = store.read(spark, "unified")
         # streamed delta segments (streaming/incremental.py) merge into the
         # serve view Lucene-segment style
-        if store.exists("attributes_delta"):
+        if store.has_parts("attributes_delta"):
             self._attrs = self._attrs.unionByName(
                 store.read_parts(spark, "attributes_delta").drop("delta")
             )
-        if store.exists("unified_delta"):
+        if store.has_parts("unified_delta"):
             self._unified = self._unified.unionByName(
                 store.read_parts(spark, "unified_delta").drop("delta")
             )
@@ -639,13 +639,18 @@ def _dynamic_snippet(content: str, terms: List[str], width: int = 250) -> str:
     if not content:
         return ""
     low = content.lower()
-    # all occurrence positions of all query terms (bounded for degenerate
-    # repetitive content; 1000 candidates is plenty for a 250-char window)
+    # all occurrence positions of all query terms, capped PER TERM (a
+    # global cap filled term-major would let a repetitive first term
+    # starve later terms of candidates, biasing best-window selection
+    # toward single-term windows on degenerate content); 1000 total is
+    # plenty for a 250-char window
     occ: List[Tuple[int, int]] = []
+    per_term = max(1, 1000 // max(1, len(terms)))
     for ti, t in enumerate(terms):
-        p = low.find(t)
-        while p >= 0 and len(occ) < 1000:
+        p, seen = low.find(t), 0
+        while p >= 0 and seen < per_term:
             occ.append((p, ti))
+            seen += 1
             p = low.find(t, p + 1)
     if not occ:
         return content[:SNIPPET_FALLBACK_CHARS] + "..." if len(content) > SNIPPET_FALLBACK_CHARS else content

@@ -57,22 +57,30 @@ POST_COLS = [
 ]
 
 
-def _read_parts_arrow(root: str, columns: List[str]) -> pd.DataFrame:
+def _read_parts_arrow(
+    root: str, columns: List[str], part_names: Optional[List[str]] = None
+) -> pd.DataFrame:
     """Union a store table as pandas -- pure pyarrow, no Spark.
 
-    A table whose top-level dirs share one hive key (shard=, tbucket=) is
-    one dataset (keeping the key as a column); a table whose part names
-    mix keys (postings: grp=/delta=) is read part by part -- inside a part
-    the inner partitioning is consistent again."""
-    entries = [
-        d for d in os.listdir(root)
-        if not d.startswith(("_", ".")) and "__tmp" not in d
-    ]
-    keys = {d.split("=", 1)[0] for d in entries if "=" in d}
-    parts = (
-        [os.path.join(root, d) for d in sorted(entries)]
-        if len(keys) > 1 else [root]
-    )
+    ``part_names`` (from ``IndexStore.committed_parts``) restricts a
+    per-part-committed table (postings, *_delta) to manifest-committed
+    segments, each read as its own dataset -- an orphan part left by a
+    crashed writer must never reach the positional serve accumulator.
+    Without it (whole-table-committed tables), a table whose top-level
+    dirs share one hive key (shard=, tbucket=) is one dataset (keeping
+    the key as a column)."""
+    if part_names is not None:
+        parts = [os.path.join(root, d) for d in part_names]
+    else:
+        entries = [
+            d for d in os.listdir(root)
+            if not d.startswith(("_", ".")) and "__tmp" not in d
+        ]
+        keys = {d.split("=", 1)[0] for d in entries if "=" in d}
+        parts = (
+            [os.path.join(root, d) for d in sorted(entries)]
+            if len(keys) > 1 else [root]
+        )
     frames = []
     for p in parts:
         ds = pads.dataset(p, format="parquet", partitioning="hive")
@@ -110,9 +118,11 @@ class ResidentSearcher:
         from .search import post_groups, shard_state
 
         attrs = _read_parts_arrow(store.path("attributes"), ATTR_COLS)
-        if store.exists("attributes_delta"):
+        if store.has_parts("attributes_delta"):
             attrs = pd.concat(
-                [attrs, _read_parts_arrow(store.path("attributes_delta"), ATTR_COLS)],
+                [attrs, _read_parts_arrow(
+                    store.path("attributes_delta"), ATTR_COLS,
+                    part_names=store.committed_parts("attributes_delta"))],
                 ignore_index=True,
             )
         self.state_by_shard = {
@@ -121,7 +131,10 @@ class ResidentSearcher:
 
         # postings -> dict[(field, term, shard)] -> block array group
         # (field, term, firsts, lasts, maxs, ns, doc_bytes, tf_bytes)
-        post = _read_parts_arrow(store.path("postings"), POST_COLS)
+        post = _read_parts_arrow(
+            store.path("postings"), POST_COLS,
+            part_names=store.committed_parts("postings"),
+        )
         self.post_by_key: Dict[Tuple[str, str, int], tuple] = {}
         for s, g in post.groupby("shard", sort=False):
             for grp in post_groups(g):
@@ -137,20 +150,26 @@ class ResidentSearcher:
         # prunes to the hits' shard dirs and then to 1-2 row groups via
         # parquet min/max stats on id.
         self._doc_datasets = self._doc_handles(store.path("unified"))
-        if store.exists("unified_delta"):
-            self._doc_datasets += self._doc_handles(store.path("unified_delta"))
+        if store.has_parts("unified_delta"):
+            self._doc_datasets += self._doc_handles(
+                store.path("unified_delta"),
+                part_names=store.committed_parts("unified_delta"),
+            )
 
     @staticmethod
-    def _doc_handles(root: str) -> list:
-        entries = [
-            d for d in os.listdir(root)
-            if not d.startswith(("_", ".")) and "__tmp" not in d
-        ]
-        keys = {d.split("=", 1)[0] for d in entries if "=" in d}
-        parts = (
-            [os.path.join(root, d) for d in sorted(entries)]
-            if len(keys) > 1 else [root]
-        )
+    def _doc_handles(root: str, part_names: Optional[List[str]] = None) -> list:
+        if part_names is not None:
+            parts = [os.path.join(root, d) for d in part_names]
+        else:
+            entries = [
+                d for d in os.listdir(root)
+                if not d.startswith(("_", ".")) and "__tmp" not in d
+            ]
+            keys = {d.split("=", 1)[0] for d in entries if "=" in d}
+            parts = (
+                [os.path.join(root, d) for d in sorted(entries)]
+                if len(keys) > 1 else [root]
+            )
         return [pads.dataset(p, format="parquet", partitioning="hive") for p in parts]
 
     # -- query path (zero Spark jobs) --

@@ -96,6 +96,78 @@ class IndexStore:
         }
         self._write_manifest()
 
+    # Tables whose top-level part dirs are committed individually via
+    # ``finish_part`` under the listed manifest stage(s).  Every other
+    # table is committed whole (one atomic rename in ``write``), so its
+    # top-level entries are hive partition dirs / data files, not parts.
+    _PART_STAGES = {
+        "postings": ("postings", "stream_deltas"),
+        "attributes_delta": ("stream_deltas",),
+        "unified_delta": ("stream_deltas",),
+    }
+
+    def _done_part_names(self, stages) -> set:
+        done = set()
+        for st in stages:
+            for p, info in self.manifest["stages"].get(st, {}).get("parts", {}).items():
+                if info.get("status") == "done":
+                    done.add(p)
+        return done
+
+    def list_parts(self, table: str) -> list:
+        """Raw on-disk top-level entries of a table (tmp/hidden excluded)."""
+        base = self.path(table)
+        if not os.path.exists(base):
+            return []
+        return sorted(
+            d for d in os.listdir(base)
+            if not d.startswith(("_", ".")) and "__tmp" not in d
+        )
+
+    def committed_parts(self, table: str) -> list:
+        """On-disk parts that the manifest has committed.
+
+        The disk listing alone is NOT the source of truth: a writer that
+        crashed between the (rename-atomic) part write and the manifest
+        commit leaves an orphan part that must never be served — serving
+        it would alias (shard, local_id) slots against the retry's
+        segment (the positional serve accumulator then conflates distinct
+        documents).  Iceberg gets this for free (uncommitted data files
+        are invisible to snapshots); this is the parquet-dir analog.
+        Whole-table-committed tables return their full listing (their
+        rename IS the commit)."""
+        entries = self.list_parts(table)
+        stages = self._PART_STAGES.get(table)
+        if stages is None:
+            return entries
+        done = self._done_part_names(stages)
+        return [d for d in entries if d in done]
+
+    def orphan_parts(self, table: str) -> list:
+        """On-disk parts with no manifest commit (crashed-writer leftovers)."""
+        stages = self._PART_STAGES.get(table)
+        if stages is None:
+            return []
+        done = self._done_part_names(stages)
+        return [d for d in self.list_parts(table) if d not in done]
+
+    def gc_orphan_parts(self, tables=None) -> dict:
+        """Remove uncommitted part dirs.  Safe by construction: an orphan
+        part's batch was never committed to the stream checkpoint either
+        (the manifest part commit happens before foreachBatch returns),
+        so the source replays it.  Returns {table: [removed parts]}."""
+        removed = {}
+        for table in (tables or self._PART_STAGES):
+            dead = self.orphan_parts(table)
+            for d in dead:
+                shutil.rmtree(os.path.join(self.path(table), d), ignore_errors=True)
+            if dead:
+                removed[table] = dead
+        return removed
+
+    def has_parts(self, table: str) -> bool:
+        return bool(self.committed_parts(table))
+
     # --- table io (Iceberg writeTo on a real catalog) ---
     def path(self, table: str, part: Optional[str] = None) -> str:
         p = os.path.join(self.root, table)
@@ -121,11 +193,14 @@ class IndexStore:
 
     def read_parts(self, spark: SparkSession, table: str) -> DataFrame:
         base = self.path(table)
-        parts = sorted(
-            os.path.join(base, d) for d in os.listdir(base)
-            if not d.startswith("_") and not d.startswith(".")
-            and "__tmp" not in d
-        )
+        # manifest-committed parts only (never serve a crashed writer's
+        # orphan segment -- see committed_parts)
+        parts = [os.path.join(base, d) for d in self.committed_parts(table)]
+        if not parts:
+            raise FileNotFoundError(
+                f"no committed parts for table {table!r} (gate callers on "
+                f"has_parts); on disk: {self.list_parts(table)}"
+            )
         # parts may use different key names (grp=, delta=), so read each
         # separately (inner partition dirs like tbucket= stay consistent)
         # and union -- the Lucene-segment view of base + delta segments

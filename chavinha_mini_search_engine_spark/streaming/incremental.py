@@ -23,6 +23,7 @@ expresses the same capabilities Spark-first:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -92,6 +93,28 @@ def stream_index_deltas(
     stats = store.read(spark, "corpus_stats")
     tdict = store.read(spark, "term_dict")
     epoch = int(time.time())
+    # a stable id for this (store, checkpoint) stream lineage: lets a
+    # replayed micro-batch recognize its own already-committed segment
+    # (crash between manifest commit and checkpoint commit) without
+    # colliding with batch ids from a DIFFERENT checkpoint generation
+    import hashlib
+
+    stream_id = (
+        hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+        if checkpoint_dir else None
+    )
+
+    # Crash hygiene BEFORE trusting the persisted offsets: a writer that
+    # died between the segment writes and the manifest commit left orphan
+    # delta parts on disk that (a) the read paths must never union --
+    # they'd alias the retry segment's (shard, local_id) slots -- and
+    # (b) the stale manifest offsets know nothing about.  Their batch was
+    # never checkpoint-committed either, so the source will replay it:
+    # removing them is a pure self-heal (the Iceberg uncommitted-data-file
+    # analog).  Steady state: zero orphans, one listdir per table.
+    gc = store.gc_orphan_parts(["postings", "attributes_delta", "unified_delta"])
+    if gc:
+        print(f"stream_index_deltas: removed orphan uncommitted parts {gc}")
 
     def _current_offsets() -> dict:
         """Per-shard max local_id across base + ALL existing segments: a
@@ -106,12 +129,25 @@ def stream_index_deltas(
         (which at a large base is a full-table pass per batch).  The scan
         remains the first-use fallback -- and the authority whenever the
         manifest carries no offsets, e.g. a store streamed into by an
-        older build."""
+        older build.  Defense in depth vs the crash window the persisted
+        offsets opened: any delta part on disk but NOT manifest-committed
+        (normally none -- GC'd at stream start) gets its maxima folded in
+        so a retry can never alias it."""
         saved = store.manifest.get("stream_offsets")
         if saved is not None:
-            return {int(s): int(m) for s, m in saved.items()}
+            offs = {int(s): int(m) for s, m in saved.items()}
+            orphans = store.orphan_parts("unified_delta")
+            for part in orphans:
+                for r in (
+                    spark.read.parquet(store.path("unified_delta", part))
+                    .groupBy("shard").agg(F.max("local_id").alias("mx"))
+                    .collect()
+                ):
+                    s = int(r["shard"])
+                    offs[s] = max(offs.get(s, -1), int(r["mx"]))
+            return offs
         seen = store.read(spark, "unified").select("shard", "local_id")
-        if store.exists("unified_delta"):
+        if store.has_parts("unified_delta"):
             seen = seen.unionByName(
                 store.read_parts(spark, "unified_delta").select("shard", "local_id")
             )
@@ -122,8 +158,25 @@ def stream_index_deltas(
             .collect()
         }
 
+    def _already_committed(batch_id: int) -> bool:
+        """True iff THIS stream lineage already committed this micro-batch
+        (crash after manifest commit, before checkpoint commit).  Keyed on
+        (stream_id, batch_id): bare batch ids restart at 0 per checkpoint
+        generation, so they alone cannot identify a batch."""
+        if stream_id is None:
+            return False
+        parts = store.manifest["stages"].get("stream_deltas", {}).get("parts", {})
+        return any(
+            p.get("status") == "done"
+            and p.get("metrics", {}).get("stream_id") == stream_id
+            and p.get("metrics", {}).get("batch_id") == batch_id
+            for p in parts.values()
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if _already_committed(batch_id):
             return
         docs = extract_docs(batch_df).withColumn(
             "content_embedding", F.lit(None).cast("array<float>")
@@ -165,7 +218,10 @@ def stream_index_deltas(
             s = int(r["shard"])
             offs[s] = max(offs.get(s, -1), int(r["max_local"]))
         store.manifest["stream_offsets"] = {str(s): m for s, m in offs.items()}
-        store.finish_part("stream_deltas", part, {"batch_id": batch_id})
+        store.finish_part(
+            "stream_deltas", part,
+            {"batch_id": batch_id, "stream_id": stream_id},
+        )
 
     src = (
         spark.readStream.schema(PAGES_DDL_COLUMNS)

@@ -265,3 +265,190 @@ def test_index_deltas_searchable(spark, tmp_path_factory):
     n_en = sum(1 for r in rows if r["lang"] == "en")
     assert s.total_documents == n_en
     assert s.total_documents == sum(d.document_count for d in s.domains)
+
+
+# --- crash-window recovery (VERDICT r3 "What's wrong" #1) ---
+
+
+@pytest.fixture(scope="module")
+def crash_fixture(spark, tmp_path_factory):
+    """A built base index + delta pages, copied per test (each crash test
+    mutates its own store root)."""
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+    )
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    cfg = IndexConfig(num_doc_shards=4, shard_groups=2, heavy_term_df=1000,
+                      num_salts=2, term_buckets=8)
+    rows = generate_pages(40, include_edges=False)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    base_dir = str(tmp_path_factory.mktemp("cr") / "pages")
+    spark.createDataFrame(rows[:28], schema).write.parquet(base_dir)
+    root = str(tmp_path_factory.mktemp("cr") / "idx")
+    store = IndexStore(root, build_id="crash-base")
+    build_index(spark, spark.read.parquet(base_dir), store, cfg,
+                with_embeddings=False, verify_text_invariant=False)
+    delta_dir = str(tmp_path_factory.mktemp("cr") / "delta")
+    # 8 files, maxFilesPerTrigger=4 -> 2 micro-batches
+    spark.createDataFrame(rows[28:], schema).repartition(8).write.parquet(delta_dir)
+    return cfg, rows, root, delta_dir
+
+
+def _copy_store(src_root, tmp_path_factory):
+    import shutil
+
+    dst = str(tmp_path_factory.mktemp("crcopy") / "idx")
+    shutil.copytree(src_root, dst)
+    return dst
+
+
+def _delta_fulldoc_ids(spark, store):
+    return [
+        r["id"]
+        for r in store.read_parts(spark, "unified_delta")
+        .filter(F.col("doc_type") == "full_doc").select("id").collect()
+    ]
+
+
+@pytest.mark.slow
+def test_stream_crash_before_manifest_commit_heals(spark, crash_fixture,
+                                                   tmp_path_factory):
+    """Crash between the delta segment writes and the manifest commit:
+    the orphan segment must never be served, the replayed batch must not
+    alias its (shard, local_id) slots, and restart must self-heal."""
+    import hashlib
+
+    from chavinha_mini_search_engine_spark.operators.serve import ResidentSearcher
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    cfg, rows, src_root, delta_dir = crash_fixture
+    root = _copy_store(src_root, tmp_path_factory)
+    store = IndexStore(root)
+    ckpt = str(tmp_path_factory.mktemp("crc") / "ckpt")
+
+    orig = IndexStore.finish_part
+
+    def bomb(self, stage, part, metrics=None):
+        if stage == "stream_deltas":
+            raise RuntimeError("simulated crash before manifest commit")
+        return orig(self, stage, part, metrics)
+
+    IndexStore.finish_part = bomb
+    try:
+        q = incremental.stream_index_deltas(spark, delta_dir, store, cfg,
+                                            checkpoint_dir=ckpt)
+        with pytest.raises(Exception):
+            q.awaitTermination(600)
+    finally:
+        IndexStore.finish_part = orig
+
+    # fresh handle = what a restarted process sees (disk manifest)
+    store2 = IndexStore(root)
+    orphans = store2.orphan_parts("unified_delta")
+    assert orphans, "crash run must leave an uncommitted on-disk segment"
+    # the orphan is invisible to every read path
+    assert not store2.has_parts("unified_delta")
+    assert store2.committed_parts("postings") == [
+        p for p in store2.list_parts("postings") if p.startswith("grp=")
+    ]
+
+    # restart with the same checkpoint: orphans GC'd, batches replayed
+    q = incremental.stream_index_deltas(spark, delta_dir, store2, cfg,
+                                        checkpoint_dir=ckpt)
+    q.awaitTermination(600)
+
+    for tbl in ("postings", "attributes_delta", "unified_delta"):
+        assert store2.orphan_parts(tbl) == [], tbl
+
+    # no (shard, local_id) aliasing across base + committed deltas
+    layout = (
+        store2.read(spark, "unified").select("shard", "local_id")
+        .unionByName(
+            store2.read_parts(spark, "unified_delta").select("shard", "local_id")
+        )
+    )
+    dup = (layout.groupBy("shard", "local_id").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0, "replay aliased the orphan segment's slots"
+
+    # every delta doc present EXACTLY once (no loss, no duplication)
+    exp_ids = sorted(
+        hashlib.md5(r["url"].encode()).hexdigest()
+        for r in rows[28:] if r["lang"] == "en"
+    )
+    assert sorted(_delta_fulldoc_ids(spark, store2)) == exp_ids
+
+    # persisted offsets equal the true maxima again
+    offs = {int(s): int(m)
+            for s, m in store2.manifest["stream_offsets"].items()}
+    exp_offs = {
+        int(r["shard"]): int(r["mx"])
+        for r in layout.groupBy("shard").agg(F.max("local_id").alias("mx")).collect()
+    }
+    assert offs == exp_offs
+
+    # the positional resident kernel loads and retrieves a delta doc
+    from chavinha_mini_search_engine_spark.functions.tokenizer import tokenize_py
+
+    target = next(r for r in rows[28:] if r["lang"] == "en")
+    target_id = hashlib.md5(target["url"].encode()).hexdigest()
+    terms = [t for t in tokenize_py(target["text"]) if len(t) > 4][:4]
+    rs = ResidentSearcher(store2, cfg)
+    ids = [h["id"] for h in rs.search(" ".join(terms), "bm25", 50)]
+    assert target_id in ids
+
+
+@pytest.mark.slow
+def test_stream_crash_after_manifest_commit_is_idempotent(spark, crash_fixture,
+                                                          tmp_path_factory):
+    """Crash AFTER the manifest commit but before the stream checkpoint
+    commit: the replayed micro-batch must recognize its own committed
+    segment (stream_id+batch_id) and skip, not double-write the docs."""
+    import hashlib
+
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    cfg, rows, src_root, delta_dir = crash_fixture
+    root = _copy_store(src_root, tmp_path_factory)
+    store = IndexStore(root)
+    ckpt = str(tmp_path_factory.mktemp("cri") / "ckpt")
+
+    orig = IndexStore.finish_part
+    fired = []
+
+    def bomb_after(self, stage, part, metrics=None):
+        out = orig(self, stage, part, metrics)
+        if stage == "stream_deltas" and not fired:
+            fired.append(part)
+            raise RuntimeError("simulated crash after manifest commit")
+        return out
+
+    IndexStore.finish_part = bomb_after
+    try:
+        q = incremental.stream_index_deltas(spark, delta_dir, store, cfg,
+                                            checkpoint_dir=ckpt)
+        with pytest.raises(Exception):
+            q.awaitTermination(600)
+    finally:
+        IndexStore.finish_part = orig
+
+    store2 = IndexStore(root)
+    n_committed_before = len(store2.committed_parts("unified_delta"))
+    assert n_committed_before == 1
+
+    q = incremental.stream_index_deltas(spark, delta_dir, store2, cfg,
+                                        checkpoint_dir=ckpt)
+    q.awaitTermination(600)
+
+    # batch 0 was skipped on replay (its segment already committed);
+    # batch 1 added exactly one more segment; zero duplicate docs
+    ids = _delta_fulldoc_ids(spark, store2)
+    assert len(ids) == len(set(ids)), "replay double-wrote a committed batch"
+    exp_ids = sorted(
+        hashlib.md5(r["url"].encode()).hexdigest()
+        for r in rows[28:] if r["lang"] == "en"
+    )
+    assert sorted(ids) == exp_ids
+    assert store2.orphan_parts("unified_delta") == []
