@@ -60,6 +60,16 @@ RUN_SCHEMA = (
     "doc_bytes binary, tf_bytes binary, score_bytes binary"
 )
 
+RUN_SCHEMA_TID = (
+    "tid long, shard int, n long, "
+    "doc_bytes binary, tf_bytes binary, score_bytes binary"
+)
+
+POSTINGS_SCHEMA_TID = (
+    "tid long, shard int, block_idx int, first_local long, "
+    "last_local long, n int, max_score double, doc_bytes binary, tf_bytes binary"
+)
+
 POSTINGS_SCHEMA = (
     "field string, term string, shard int, block_idx int, first_local long, "
     "last_local long, n int, max_score double, doc_bytes binary, tf_bytes binary"
@@ -109,6 +119,78 @@ def _encode_runs_many(pdf: pd.DataFrame) -> pd.DataFrame:
         rows["tf_bytes"].append(varbyte_encode(tf[s:e].astype(np.uint64)))
         rows["score_bytes"].append(sc[s:e].tobytes())
     return pd.DataFrame(rows)
+
+
+def _encode_runs_many_tid(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Integer-keyed twin of _encode_runs_many: one (shard, ekey, salt)
+    bucket -> one compressed sorted run per ``tid`` segment.  The shuffle
+    rows carry an 8-byte term id instead of the (field, term) strings --
+    at web-scale vocab that is the dominant share of encode-shuffle bytes
+    (strings re-attach at block granularity after the merge, ~1/block_size
+    the rows)."""
+    shard = int(pdf["shard"].iloc[0])
+    tid = pdf["tid"].values.astype(np.int64)
+    lid = pdf["local_id"].values.astype(np.int64)
+    tf = pdf["tf"].values.astype(np.int64)
+    sc = pdf["score"].values.astype(np.float64)
+    order = np.lexsort((lid, tid))
+    tid, lid, tf, sc = tid[order], lid[order], tf[order], sc[order]
+    seg = np.flatnonzero(np.diff(tid))
+    starts = np.concatenate(([0], seg + 1))
+    ends = np.concatenate((seg + 1, [len(tid)]))
+    rows = {k: [] for k in (
+        "tid", "shard", "n", "doc_bytes", "tf_bytes", "score_bytes",
+    )}
+    for s, e in zip(starts, ends):
+        rows["tid"].append(int(tid[s]))
+        rows["shard"].append(shard)
+        rows["n"].append(int(e - s))
+        rows["doc_bytes"].append(delta_encode(lid[s:e].astype(np.uint64)))
+        rows["tf_bytes"].append(varbyte_encode(tf[s:e].astype(np.uint64)))
+        rows["score_bytes"].append(sc[s:e].tobytes())
+    return pd.DataFrame(rows)
+
+
+def _make_merge_runs_tid(block_size: int):
+    from ..functions.codec import delta_decode, varbyte_decode
+
+    def _merge_many(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Integer-keyed twin of the merge kernel: one (shard, mkey)
+        bucket -> final block rows per ``tid`` segment."""
+        shard = int(pdf["shard"].iloc[0])
+        rows = {k: [] for k in (
+            "tid", "shard", "block_idx", "first_local", "last_local",
+            "n", "max_score", "doc_bytes", "tf_bytes",
+        )}
+        for tid, g in pdf.groupby("tid", sort=False):
+            ids_parts, tf_parts, sc_parts = [], [], []
+            for db, tb, sb, n in zip(g["doc_bytes"], g["tf_bytes"],
+                                     g["score_bytes"], g["n"]):
+                ids_parts.append(delta_decode(db, int(n)))
+                tf_parts.append(varbyte_decode(tb, int(n)))
+                sc_parts.append(np.frombuffer(sb, dtype=np.float64))
+            if len(ids_parts) == 1:
+                ids, tfs, scs = ids_parts[0], tf_parts[0], sc_parts[0]
+            else:
+                ids = np.concatenate(ids_parts)
+                tfs = np.concatenate(tf_parts)
+                scs = np.concatenate(sc_parts)
+                order = np.argsort(ids, kind="mergesort")
+                ids, tfs, scs = ids[order], tfs[order], scs[order]
+            for bi, s in enumerate(range(0, len(ids), block_size)):
+                e = min(s + block_size, len(ids))
+                rows["tid"].append(int(tid))
+                rows["shard"].append(shard)
+                rows["block_idx"].append(bi)
+                rows["first_local"].append(int(ids[s]))
+                rows["last_local"].append(int(ids[e - 1]))
+                rows["n"].append(int(e - s))
+                rows["max_score"].append(float(scs[s:e].max()))
+                rows["doc_bytes"].append(delta_encode(ids[s:e]))
+                rows["tf_bytes"].append(varbyte_encode(tfs[s:e]))
+        return pd.DataFrame(rows)
+
+    return _merge_many
 
 
 def _make_merge_runs(block_size: int):
@@ -214,9 +296,42 @@ def tokenize_tf(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
 
-def corpus_stats(tf: DataFrame) -> DataFrame:
-    """Per-field (n_docs, avgdl) over field-present docs."""
-    per_doc = tf.select("field", "shard", "local_id", "dl").distinct()
+def doclens(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """One row per (shard, local_id) with per-field dl (null = field
+    absent) -- the pivoted document-length table.
+
+    Derived ONCE per build and materialized: both corpus_stats (avgdl /
+    n_docs) and the attributes length join consume doc lengths, and at
+    scale each previously re-scanned the full posting-grain tf table to
+    re-derive them -- the round-3 protocol measured the stats stage as
+    the worst 4N scaler (2.52x) largely from those two extra tf passes.
+    tf is shard-colocated on disk, so the pivot's map-side partial agg
+    collapses the per-term rows to one row per doc before the exchange
+    (dl repeats on every (doc, field) row; F.first is exact)."""
+    return (
+        tf.groupBy("shard", "local_id")
+        .pivot("field", list(cfg.fields))
+        .agg(F.first("dl"))
+    )
+
+
+def corpus_stats(tf: DataFrame, lens: Optional[DataFrame] = None,
+                 cfg: Optional[IndexConfig] = None) -> DataFrame:
+    """Per-field (n_docs, avgdl) over field-present docs.  Pass ``lens``
+    (the materialized doclens table) to aggregate the narrow per-doc
+    table instead of a full-tf distinct.  avgdl is identical either way:
+    dl is integral, so Spark's avg accumulates an exact long sum before
+    the one division."""
+    if lens is not None:
+        n = len(cfg.fields)
+        stacked = lens.select(F.expr(
+            "stack({}, {}) as (field, dl)".format(
+                n, ", ".join(f"'{f}', {f}" for f in cfg.fields)
+            )
+        )).filter(F.col("dl").isNotNull())
+        per_doc = stacked
+    else:
+        per_doc = tf.select("field", "shard", "local_id", "dl").distinct()
     return per_doc.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -258,6 +373,12 @@ def scored_tf(tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfi
     return j.withColumn("score", F.col("idf") * F.col("tf") / denom)
 
 
+def _use_tid_keys() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TERM_KEYS", "tid") != "str"
+
+
 def build_postings_for(
     stf: DataFrame, tdict: DataFrame, cfg: IndexConfig
 ) -> DataFrame:
@@ -267,35 +388,105 @@ def build_postings_for(
     many terms; a head term (df > heavy_term_df) is salted by local_id into
     ``num_salts`` independent runs (bounding any single task) that the
     merge stage k-way merges back into one blocked posting list.
+
+    By default the encode/merge shuffles are keyed on ``tid =
+    xxhash64(field, term)`` -- 8 bytes per posting row instead of the two
+    strings, which at web-scale vocab dominate shuffle bytes.  The
+    (field, term) strings re-attach AFTER the merge at block granularity
+    (~1/block_size the rows) via a dictionary join, so the on-disk
+    postings schema is unchanged.  ``verify_tid_unique`` (run once per
+    build in the stats stage) guards the astronomically-unlikely 64-bit
+    collision, which would otherwise silently merge two terms' lists.
+    ``SPARK_GRAFT_TERM_KEYS=str`` selects the legacy string-keyed path
+    (kept for A/B measurement).
     """
+    if not _use_tid_keys():
+        heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
+            "field", "term", F.lit(True).alias("_heavy")
+        )
+        stf = stf.join(F.broadcast(heavy), ["field", "term"], "left")
+        stf = stf.withColumn(
+            "salt",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("_heavy")
+        stf = stf.withColumn(
+            "ekey", F.pmod(F.xxhash64("field", "term"), F.lit(cfg.encode_buckets)).cast("int")
+        )
+        runs = stf.groupBy("shard", "ekey", "salt").applyInPandas(
+            _encode_runs_many, schema=RUN_SCHEMA
+        )
+        runs = runs.withColumn(
+            "mkey", F.pmod(F.xxhash64("field", "term"), F.lit(cfg.encode_buckets)).cast("int")
+        )
+        blocks = runs.groupBy("shard", "mkey").applyInPandas(
+            _make_merge_runs(cfg.block_size), schema=POSTINGS_SCHEMA
+        )
+        blocks = blocks.withColumn(
+            "tbucket", tbucket_col(F.col("term"), cfg.term_buckets)
+        )
+        return blocks.repartition(cfg.term_buckets, "tbucket")
+
+    stf = stf.withColumn("tid", F.xxhash64("field", "term"))
     heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
-        "field", "term", F.lit(True).alias("_heavy")
+        F.xxhash64("field", "term").alias("tid"), F.lit(True).alias("_heavy")
     )
-    stf = stf.join(F.broadcast(heavy), ["field", "term"], "left")
+    stf = stf.join(F.broadcast(heavy), "tid", "left")
     stf = stf.withColumn(
         "salt",
         F.when(
             F.col("_heavy").isNotNull(),
             F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
         ).otherwise(F.lit(0)),
-    ).drop("_heavy")
-    stf = stf.withColumn(
-        "ekey", F.pmod(F.xxhash64("field", "term"), F.lit(cfg.encode_buckets)).cast("int")
+    )
+    # drop the strings BEFORE the encode exchange: this select is what
+    # turns the shuffle rows into (tid, shard, local_id, tf, score, salt)
+    stf = stf.select(
+        "tid", "shard", "local_id", "tf", "score", "salt",
+        F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int").alias("ekey"),
     )
     runs = stf.groupBy("shard", "ekey", "salt").applyInPandas(
-        _encode_runs_many, schema=RUN_SCHEMA
+        _encode_runs_many_tid, schema=RUN_SCHEMA_TID
     )
     runs = runs.withColumn(
-        "mkey", F.pmod(F.xxhash64("field", "term"), F.lit(cfg.encode_buckets)).cast("int")
+        "mkey", F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int")
     )
     blocks = runs.groupBy("shard", "mkey").applyInPandas(
-        _make_merge_runs(cfg.block_size), schema=POSTINGS_SCHEMA
+        _make_merge_runs_tid(cfg.block_size), schema=POSTINGS_SCHEMA_TID
     )
-    blocks = blocks.withColumn("tbucket", tbucket_col(F.col("term"), cfg.term_buckets))
+    # re-attach (field, term) at block granularity; Catalyst/AQE picks
+    # broadcast for a small dictionary, a block-grain shuffle join at
+    # web-scale vocab (both fine -- blocks are ~1/block_size of postings)
+    names = tdict.select(
+        F.xxhash64("field", "term").alias("tid"), "field", "term"
+    )
+    blocks = blocks.join(names, "tid").drop("tid")
+    blocks = blocks.select(
+        "field", "term", "shard", "block_idx", "first_local", "last_local",
+        "n", "max_score", "doc_bytes", "tf_bytes",
+        tbucket_col(F.col("term"), cfg.term_buckets).alias("tbucket"),
+    )
     # co-locate each tbucket in one task before the dynamic-partition write:
     # otherwise every task writes a file into every tbucket dir (tasks x
     # buckets small files; each local-FS file commit fork+execs chmod)
     return blocks.repartition(cfg.term_buckets, "tbucket")
+
+
+def verify_tid_unique(tdict: DataFrame) -> None:
+    """Raise if xxhash64(field, term) collides within the dictionary (the
+    integer posting keys would silently merge two terms).  One hash-agg
+    over the dictionary -- vocabulary-sized, not corpus-sized."""
+    ncol = (
+        tdict.groupBy(F.xxhash64("field", "term").alias("tid"))
+        .count().filter(F.col("count") > 1).count()
+    )
+    if ncol:
+        raise RuntimeError(
+            f"{ncol} xxhash64(field, term) collisions in term_dict; "
+            "set SPARK_GRAFT_TERM_KEYS=str or change the term-id seed"
+        )
 
 
 ATTR_SCHEMA_COLS = [
@@ -306,7 +497,8 @@ ATTR_SCHEMA_COLS = [
 
 
 def attributes(unified: DataFrame, cfg: IndexConfig,
-               tf: Optional[DataFrame] = None) -> DataFrame:
+               tf: Optional[DataFrame] = None,
+               lens: Optional[DataFrame] = None) -> DataFrame:
     """Per-doc serve-side attributes: lengths per field + embedding +
     precomputed semantic-LSH bucket.
 
@@ -319,23 +511,23 @@ def attributes(unified: DataFrame, cfg: IndexConfig,
     such docs are only reachable via exact semantic mode or after
     compaction re-embeds them.
 
-    Pass ``tf`` (the tokenize_tf output, which already carries per-field
-    dl) to derive len_* from a narrow pivot instead of RE-TOKENIZING the
-    whole corpus a second time -- at 100 TB tokenization is a full-corpus
-    pass worth doing exactly once.  Fields a doc lacks get len 0, which is
-    what F.size(tokens) returned (and the scorer only dereferences lengths
-    for docs a posting reaches, i.e. dl > 0 fields).
+    Pass ``lens`` (the materialized pivoted doclens table, one row per
+    doc) -- or, failing that, ``tf`` (the tokenize_tf output, which
+    already carries per-field dl) -- to derive len_* without
+    RE-TOKENIZING the whole corpus a second time -- at 100 TB
+    tokenization is a full-corpus pass worth doing exactly once.  With
+    ``lens`` this stage touches no posting-grain data at all; with only
+    ``tf`` it must first collapse the full posting-grain table.  Fields
+    a doc lacks
+    get len 0, which is what F.size(tokens) returned (and the scorer only
+    dereferences lengths for docs a posting reaches, i.e. dl > 0 fields).
     """
     from .similarity import _hyperplanes
 
     u = unified
-    if tf is not None:
-        lens = (
-            tf.select("shard", "local_id", "field", "dl").distinct()
-            .groupBy("shard", "local_id")
-            .pivot("field", list(cfg.fields))
-            .agg(F.first("dl"))
-        )
+    if lens is not None or tf is not None:
+        if lens is None:
+            lens = doclens(tf, cfg)
         lens = lens.select(
             "shard", "local_id",
             *[F.coalesce(F.col(f), F.lit(0)).alias(f"len_{f}") for f in cfg.fields],
@@ -509,11 +701,16 @@ def _index_stages_from_unified(
             "tf", partition_by=["grp"],
         )
         tf = store.read(spark, "tf")
-        stats = corpus_stats(tf)
-        store.write(stats, "corpus_stats")
+        # one doc-grain pass over tf feeds BOTH corpus_stats and the
+        # attributes length join (previously each re-scanned full tf)
+        store.write(doclens(tf, cfg), "doclens")
+        lens = store.read(spark, "doclens")
+        store.write(corpus_stats(tf, lens=lens, cfg=cfg), "corpus_stats")
         td = term_dict(tf, store.read(spark, "corpus_stats"), cfg)
         store.write(td.repartition(cfg.term_buckets, "tbucket"),
                     "term_dict", partition_by=["tbucket"])
+        if _use_tid_keys():
+            verify_tid_unique(store.read(spark, "term_dict"))
         store.finish_stage("stats", {"wall_sec": time.time() - t})
 
     tf = store.read(spark, "tf")
@@ -558,12 +755,16 @@ def _index_stages_from_unified(
             store.finish_part("postings", part, {"wall_sec": wall})
     store.finish_stage("postings")
 
-    # stage: attributes (reuses tf's per-field dl -- no second tokenization)
+    # stage: attributes (consumes the materialized doclens table -- no
+    # second tokenization, no posting-grain re-scan; tf fallback keeps
+    # stores built before doclens existed resumable)
     if not store.stage_done("attributes"):
         store.begin_stage("attributes")
         t = time.time()
+        lens = store.read(spark, "doclens") if store.exists("doclens") else None
         store.write(
-            attributes(unified, cfg, tf=tf).repartition(cfg.num_doc_shards, "shard"),
+            attributes(unified, cfg, tf=tf, lens=lens)
+            .repartition(cfg.num_doc_shards, "shard"),
             "attributes", partition_by=["shard"],
         )
         store.finish_stage("attributes", {"wall_sec": time.time() - t})

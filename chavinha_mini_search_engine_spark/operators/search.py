@@ -236,6 +236,20 @@ def score_shard(
     touched = np.zeros(n_docs, dtype=bool)
     sig_w, cl_w = HYBRID_BM25_WEIGHT, HYBRID_SEM_WEIGHT
 
+    # per-doc closeness cache, shared by the in-loop hybrid theta updates
+    # and the two-phase exit: exact closeness is computed at most once per
+    # doc per query
+    cl_cache = None
+
+    def _closeness_cached(idxs_):
+        nonlocal cl_cache
+        if cl_cache is None:
+            cl_cache = np.full(n_docs, np.nan)
+        miss = idxs_[np.isnan(cl_cache[idxs_])]
+        if miss.size:
+            cl_cache[miss] = _closeness_at(state, q64, miss)[0]
+        return cl_cache[idxs_]
+
     if mode in ("bm25", "hybrid") and groups:
         assert len(state.ids) == n_docs, "attributes must be dense per shard"
         entries = []
@@ -256,20 +270,6 @@ def score_shard(
         # construction), so below that floor the bound evaluation is pure
         # overhead and is skipped
         prune_floor = cl_w if mode == "hybrid" else -math.inf
-        # per-doc closeness cache for the hybrid theta updates: the top-k
-        # candidate set barely changes between terms, so exact closeness
-        # is computed once per doc per query
-        cl_cache = None
-
-        def _closeness_cached(idxs_):
-            nonlocal cl_cache
-            if cl_cache is None:
-                cl_cache = np.full(n_docs, np.nan)
-            miss = idxs_[np.isnan(cl_cache[idxs_])]
-            if miss.size:
-                cl_cache[miss] = _closeness_at(state, q64, miss)[0]
-            return cl_cache[idxs_]
-
         for i, (field, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
                 in enumerate(entries):
             rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
@@ -322,10 +322,41 @@ def score_shard(
         idxs = np.flatnonzero(touched & state.is_full if full_only else touched)
         return idxs, acc[idxs]
     if mode == "hybrid":
+        # Two-phase blend (the Vespa second-phase analog, doc.sd:139-176):
+        # phase 1 ranks every match by the cheap sound upper bound
+        # sig_w*sigmoid(acc) + cl_w*[has_embedding] (closeness <= 1, and
+        # exactly 0 without an embedding); phase 2 exact-blends candidates
+        # in bound order, extending until the next candidate's bound is
+        # strictly below the k-th best exact DEDUPED score (tau from
+        # topk_dedup, so post-dedup top-k stays exact; ties at tau are
+        # still evaluated).  Lossless by the WAND argument: every skipped
+        # doc's final score is provably < tau.  Degenerate match-everything
+        # queries stop after a few chunks instead of one full-shard
+        # closeness pass.
         idxs = np.flatnonzero(touched)
-        sig = 1.0 / (1.0 + np.exp(-acc[idxs] / HYBRID_SIGMOID_SCALE))
-        cl, _ = _closeness_at(state, q64, idxs)
-        return idxs, sig_w * sig + cl_w * cl
+        sigc = sig_w / (1.0 + np.exp(-acc[idxs] / HYBRID_SIGMOID_SCALE))
+        _, has = state.embmat(len(q64))
+        ub = sigc + cl_w * has[idxs]
+        chunk = max(4 * k, 256)
+        if len(idxs) <= chunk:
+            return idxs, sigc + cl_w * _closeness_cached(idxs)
+        order = np.argsort(-ub, kind="stable")
+        eval_idx, eval_sc = [], []
+        tau = -math.inf
+        pos, n = 0, len(order)
+        while pos < n and not ub[order[pos]] < tau:
+            take = order[pos:pos + chunk]
+            sub = idxs[take]
+            eval_idx.append(sub)
+            eval_sc.append(sigc[take] + cl_w * _closeness_cached(sub))
+            pos += len(take)
+            if pos < n:
+                kept, ks = topk_dedup(
+                    state, np.concatenate(eval_idx), np.concatenate(eval_sc), k
+                )
+                if len(ks) >= k:
+                    tau = float(ks[-1])
+        return np.concatenate(eval_idx), np.concatenate(eval_sc)
     # semantic: chunk docs WITH a stored embedding (scorer.py:144); lsh
     # mode additionally restricts to the query's probed sem_buckets
     cand = ~state.is_full

@@ -14,6 +14,7 @@ Layout under ``root``:
   manifest.json                 -- build_id, per-stage status + metrics
   docs/ chunks/ unified/        -- document tables (unified partitioned by shard)
   term_dict/ corpus_stats/      -- broadcastable stats
+  doclens/                      -- per-(shard, local_id) field lengths
   postings/grp=K/               -- posting lists, committed per shard-group
   attributes/                   -- per-(shard, local_id) norms + embeddings
   build_metrics/                -- per-stage, per-partition lineage rows

@@ -77,6 +77,6 @@ def test_resume_identical(spark, tiny_pages, tmp_path_factory):
     # outputs identical to the uninterrupted build
     for table, parts in [
         ("unified", False), ("term_dict", False), ("corpus_stats", False),
-        ("postings", True), ("attributes", False),
+        ("doclens", False), ("postings", True), ("attributes", False),
     ]:
         assert _collect(a, spark, table, parts) == _collect(b2, spark, table, parts), table

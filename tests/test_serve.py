@@ -84,3 +84,69 @@ def test_resident_validation(resident):
         resident.search("x", "bm25", 0)
     with pytest.raises(ValueError):
         resident.search("x", "nope", 10)
+
+
+@pytest.mark.slow
+def test_hybrid_two_phase_degenerate_parity(spark, tmp_path_factory):
+    """The two-phase hybrid exit (rank by the cheap bound, exact-blend a
+    candidate prefix, extend until the next bound is below the k-th exact
+    deduped score) must be LOSSLESS.  A single-shard build with >256
+    matches for a corpus-wide term forces the chunked path (chunk =
+    max(4k, 256)); results must equal the exhaustive oracle exactly."""
+    import collections
+
+    import numpy as np
+
+    from chavinha_mini_search_engine_spark.fixtures.pages import generate_pages
+    from chavinha_mini_search_engine_spark.functions.tokenizer import tokenize_py
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+    )
+    from chavinha_mini_search_engine_spark.oracle.scorer import OracleIndex
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    cfg = IndexConfig(num_doc_shards=1, shard_groups=1, heavy_term_df=100,
+                      num_salts=2, term_buckets=8)
+    rows = generate_pages(400, include_edges=False)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages_dir = str(tmp_path_factory.mktemp("tp") / "pages")
+    spark.createDataFrame(rows, schema).write.parquet(pages_dir)
+    store = IndexStore(str(tmp_path_factory.mktemp("tp") / "i"), build_id="tp")
+    build_index(spark, spark.read.parquet(pages_dir), store, cfg,
+                with_embeddings=True, verify_text_invariant=False)
+
+    # the most frequent token = the closest thing to a match-everything
+    # stopword in the synthetic corpus
+    df_count = collections.Counter()
+    for r in rows:
+        if r["lang"] == "en":
+            df_count.update(set(tokenize_py(r["text"])))
+    degenerate_term, df = df_count.most_common(1)[0]
+    assert df > 256, "need a term matching >256 docs to force chunking"
+
+    rs = ResidentSearcher(store, cfg)
+
+    def to_odocs(df_):
+        out = []
+        for r in df_.collect():
+            d = r.asDict()
+            emb = d.pop("embedding", None)
+            d["embedding"] = (
+                np.asarray(emb, dtype=np.float32) if emb is not None else None
+            )
+            out.append(d)
+        return out
+
+    oracle = OracleIndex(to_odocs(store.read(spark, "unified")))
+    for q in (degenerate_term, f"{degenerate_term} python"):
+        for k in (1, 10, 50):
+            got = norm(rs.search(q, "hybrid", k))
+            exp = sorted(
+                ((h["doc_id"], round(h["score"], 9))
+                 for h in oracle.search(q, "hybrid", k)),
+                key=lambda t: (-t[1], t[0]),
+            )
+            assert [g[0] for g in got] == [e[0] for e in exp], (q, k)
+            for (gid, gs), (_, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-8, (q, k, gid, gs, es)
