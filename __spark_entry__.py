@@ -165,6 +165,19 @@ def _q_ann_lsh_topk(spark, sf):  # ANN scale path (approximate; rows-only)
     return similarity.lsh_bucketed_topk(_emb(spark, sf), qvec, k=10)
 
 
+def _q_ann_graph_topk(spark, sf):  # ANN graph path (per-partition HNSW)
+    # graph search is approximate in general, but at gate scale (500
+    # vectors, ef_search=200) the per-partition graphs recover the exact
+    # local top-k, so the result equals brute force and is gated against
+    # the exact SQL twin (tests/test_graph_ann.py pins this equality)
+    from chavinha_mini_search_engine_spark.operators import graph_ann
+
+    qvec = (
+        _emb(spark, sf).filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    return graph_ann.graph_topk(_emb(spark, sf), qvec, k=10)
+
+
 def _q_quality(spark, sf):  # text quality scoring
     return textstats.quality_features(_docs(spark, sf))
 
@@ -264,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_banded": _q_embedding_neardup_banded,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_graph_topk": _q_ann_graph_topk,
         "quality_features": _q_quality,
         "language_id": _q_langid,
         "token_counts": _q_token_counts,
@@ -583,6 +597,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{CHUNK_GATE_ARTIFACT}/*.parquet')"
         ),
         "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round("
+            + _COS64.format(a="e.embedding", b="q.qe")
+            + ", 6) AS cosine FROM embeddings e, q "
+            "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"
+        ),
+        # the graph path recovers the exact top-k at gate scale (see
+        # _q_ann_graph_topk), so its twin IS the exact brute-force query
+        "ann_graph_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round("
             + _COS64.format(a="e.embedding", b="q.qe")

@@ -231,6 +231,17 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         t = time.time()
         rs.search(matched_query, "semantic", 10, semantic_mode="lsh")
         timings["semantic_resident_lsh_ms"] = round((time.time() - t) * 1e3, 2)
+        # graph mode: first call pays the lazy per-shard HNSW build (also
+        # reported -- at scale it is the build-time "graph" stage), warm
+        # call is the serve number
+        t = time.time()
+        rs.search(matched_query, "semantic", 10, semantic_mode="graph")
+        timings["semantic_resident_graph_build_ms"] = round(
+            (time.time() - t) * 1e3, 2
+        )
+        t = time.time()
+        rs.search(matched_query, "semantic", 10, semantic_mode="graph")
+        timings["semantic_resident_graph_ms"] = round((time.time() - t) * 1e3, 2)
         # the corpus-derived matched query hits nearly EVERY synthetic doc
         # (shared fixture vocabulary) -- a degenerate worst case for
         # hybrid, which must score closeness for all matches.  Also report
@@ -317,6 +328,10 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     t = time.time()
     similarity.lsh_bucketed_topk(emb, qvec, 10).collect()
     timings["ann_lsh_topk"] = round(time.time() - t, 3)
+    from chavinha_mini_search_engine_spark.operators import graph_ann
+    t = time.time()
+    graph_ann.graph_topk(emb, qvec, 10).collect()
+    timings["ann_graph_topk"] = round(time.time() - t, 3)
 
     t = time.time()
     textstats.quality_features(docs).count()

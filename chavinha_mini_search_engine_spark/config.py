@@ -94,6 +94,17 @@ class IndexConfig:
     sem_lsh_planes: int = 8
     sem_lsh_seed: int = 42
     sem_lsh_probe_radius: int = 2
+    # graph-ANN serve index (operators/graph_ann.py): per-shard HNSW over
+    # stored chunk embeddings, the faithful analog of the reference's
+    # Vespa hnsw attribute (doc.sd:55-60 max-links-per-node /
+    # neighbors-to-explore-at-insert).  Off by default: the lsh path
+    # already serves semantic queries; enabling adds a "graph" build
+    # stage and unlocks semantic_mode="graph".
+    graph_ann: bool = False
+    graph_m: int = 16                 # max-links-per-node (doc.sd:57)
+    graph_ef_construction: int = 200  # neighbors-to-explore-at-insert (doc.sd:58)
+    graph_ef_search: int = 64         # targetHits exploration analog
+    graph_seed: int = 42
 
     def __post_init__(self):
         # sem_bucket is stored as int32 in attributes; >=31 planes would

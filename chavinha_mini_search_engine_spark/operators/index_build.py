@@ -769,6 +769,19 @@ def _index_stages_from_unified(
         )
         store.finish_stage("attributes", {"wall_sec": time.time() - t})
 
+    # stage: graph (optional) -- per-shard HNSW over stored embeddings,
+    # the Vespa hnsw-attribute analog (doc.sd:55-60); serve's
+    # semantic_mode="graph" loads it (operators/graph_ann.py docstring)
+    if cfg.graph_ann and not store.stage_done("graph"):
+        store.begin_stage("graph")
+        t = time.time()
+        from .graph_ann import build_graph_table
+        store.write(
+            build_graph_table(store.read(spark, "attributes"), cfg),
+            "graph", partition_by=["shard"],
+        )
+        store.finish_stage("graph", {"wall_sec": time.time() - t})
+
 
 def compact(
     spark: SparkSession,

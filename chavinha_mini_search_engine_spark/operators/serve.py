@@ -156,6 +156,20 @@ class ResidentSearcher:
                 part_names=store.committed_parts("unified_delta"),
             )
 
+        # graph-ANN (HNSW) serve structures: persisted per-shard rows if
+        # the build ran with cfg.graph_ann (the Vespa hnsw-attribute
+        # analog), rebuilt lazily per shard otherwise; frozen graphs are
+        # cached per shard after first use
+        self._graph_rows_by_shard: Dict[int, pd.DataFrame] = {}
+        if store.exists("graph"):
+            grows = _read_parts_arrow(
+                store.path("graph"), ["shard", "local_id", "level", "nbrs"]
+            )
+            self._graph_rows_by_shard = {
+                int(s): g for s, g in grows.groupby("shard")
+            }
+        self._graphs: Dict[int, tuple] = {}
+
     @staticmethod
     def _doc_handles(root: str, part_names: Optional[List[str]] = None) -> list:
         if part_names is not None:
@@ -180,7 +194,7 @@ class ResidentSearcher:
             raise ValueError(f"limit must be in [1, {MAX_LIMIT}]")
         if search_type not in ("bm25", "semantic", "hybrid"):
             raise ValueError(f"invalid search_type {search_type}")
-        if semantic_mode not in ("exact", "lsh"):
+        if semantic_mode not in ("exact", "lsh", "graph"):
             raise ValueError(f"invalid semantic_mode {semantic_mode}")
 
         terms = _query_terms(query)
@@ -220,6 +234,19 @@ class ResidentSearcher:
         sel_ids, sel_sort, sel_keys = [], [], []
         sel_parents, sel_dts, sel_pdts, sel_scores = [], [], [], []
         for shard, state in self.state_by_shard.items():
+            if search_type == "semantic" and semantic_mode == "graph":
+                cand, scores = self._graph_search(shard, state, q64, k)
+                if not len(cand):
+                    continue
+                keep, s = topk_dedup(state, cand, scores, k)
+                sel_ids.append(state.ids[keep])
+                sel_sort.append(state.ids_sort[keep])
+                sel_keys.append(state.dedup_keys[keep])
+                sel_parents.append(state.parents[keep])
+                sel_dts.append(state.doc_types[keep])
+                sel_pdts.append(state.parent_doc_types[keep])
+                sel_scores.append(s)
+                continue
             if search_type == "semantic":
                 groups = []
             else:
@@ -262,6 +289,62 @@ class ResidentSearcher:
             for i in keep
         ]
         return self._enrich(hits, terms)
+
+    def _graph_for(self, shard: int, state, dim: int):
+        """(HnswGraph, subset positions) for a shard, cached.  Prefers the
+        build-time persisted graph table; falls back to a lazy in-memory
+        build over the shard's embedded chunk docs (same deterministic
+        construction, so both paths answer identically).
+
+        Streamed delta docs are not in the persisted base graph, so graph
+        mode reaches them only after compaction — the same reachability
+        caveat as lsh mode's null sem_bucket (index_build.attributes
+        docstring); exact mode always sees them."""
+        hit = self._graphs.get(shard)
+        if hit is not None:
+            return hit
+        from .graph_ann import build_hnsw, graph_from_rows
+
+        m64, has = state.embmat(dim)
+        rows = self._graph_rows_by_shard.get(shard)
+        if rows is not None and len(rows):
+            rows = rows.sort_values("local_id")
+            sub = rows["local_id"].to_numpy(dtype=np.int64)
+            g = graph_from_rows(
+                sub, rows["level"].to_numpy(),
+                rows["nbrs"].to_numpy(), m=self.cfg.graph_m,
+            )
+        else:
+            sub = np.flatnonzero(has & ~state.is_full)
+            g = (
+                build_hnsw(
+                    m64[sub], m=self.cfg.graph_m,
+                    ef_construction=self.cfg.graph_ef_construction,
+                    seed=self.cfg.graph_seed,
+                )
+                if len(sub) else None
+            )
+        self._graphs[shard] = (g, sub)
+        return g, sub
+
+    def _graph_search(self, shard: int, state, q64: np.ndarray, k: int):
+        """Per-shard HNSW query -> (positions, closeness) in the same
+        closeness(angular) units as exact semantic mode."""
+        from .graph_ann import search_hnsw
+
+        g, sub = self._graph_for(shard, state, len(q64))
+        if g is None or not len(sub):
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        m64, _ = state.embmat(len(q64))
+        # over-fetch beyond k so cross-shard merge + parent dedup still
+        # sees enough distinct candidates (same reason the lsh path scores
+        # every probed bucket)
+        idx, sims = search_hnsw(
+            m64[sub], g, q64, max(k * 2, k + 8),
+            ef_search=max(self.cfg.graph_ef_search, k * 2),
+        )
+        cl = 1.0 / (1.0 + np.arccos(np.clip(sims, -1.0, 1.0)))
+        return sub[idx], cl
 
     def _fetch_docrows(self, ids: List[str]) -> Dict[str, tuple]:
         """Fetch the <=k hit rows from the parquet doc store: shard dirs
