@@ -110,6 +110,11 @@ def _search_layer(vecs: np.ndarray, adj: Dict[int, np.ndarray],
         nbrs = adj.get(n)
         if nbrs is None or not len(nbrs):
             continue
+        # lists during build, frozen int32 arrays at query time -- asarray
+        # is a no-op view for the latter.  Converting ONLY the visited
+        # node's list here (instead of snapshotting the whole level per
+        # insert) keeps construction O(n log n), not O(n^2).
+        nbrs = np.asarray(nbrs, dtype=np.int64)
         new = nbrs[~visited[nbrs]]
         if not len(new):
             continue
@@ -138,24 +143,33 @@ def _select_neighbors(cands: List[Tuple[float, int]], m: int,
     long-range links so greedy search can cross clusters.  Rejected
     candidates backfill remaining slots (keepPruned), preserving degree.
     """
+    k = len(cands)
+    if k == 0 or m <= 0:
+        return []
+    ids = np.fromiter((n for _, n in cands), dtype=np.int64, count=k)
+    dq = np.fromiter((d for d, _ in cands), dtype=np.float64, count=k)
+    # one gather + one Gram matrix per call instead of a fancy-indexed
+    # matmul per candidate (profiling: that loop was ~60% of build time);
+    # dmin[j] tracks min distance from candidate j to the selected set
+    C = vecs[ids]
+    D = 1.0 - C @ C.T
+    dmin = np.full(k, np.inf)
     selected: List[int] = []
     pruned: List[int] = []
-    for d, n in cands:
+    for j in range(k):
         if len(selected) >= m:
             break
-        if not selected:
-            selected.append(n)
-            continue
-        d_to_sel = 1.0 - vecs[selected] @ vecs[n]
-        if d < d_to_sel.min():
-            selected.append(n)
+        if dq[j] < dmin[j]:
+            selected.append(j)
+            np.minimum(dmin, D[j], out=dmin)
         else:
-            pruned.append(n)
-    for n in pruned:
-        if len(selected) >= m:
+            pruned.append(j)
+    out = [int(ids[j]) for j in selected]
+    for j in pruned:
+        if len(out) >= m:
             break
-        selected.append(n)
-    return selected
+        out.append(int(ids[j]))
+    return out
 
 
 def build_hnsw(vecs: np.ndarray, m: int = DEFAULT_M,
@@ -186,11 +200,11 @@ def build_hnsw(vecs: np.ndarray, m: int = DEFAULT_M,
         eps = [(float(1.0 - vecs[entry] @ q), entry)]
         # greedy descend through levels above the node's level
         for lc in range(entry_level, li, -1):
-            eps = _search_layer(vecs, _adj_view(adj[lc]), q, eps, 1, visited)
+            eps = _search_layer(vecs, adj[lc], q, eps, 1, visited)
         # insert with beam ef_construction at each level <= li
         for lc in range(min(entry_level, li), -1, -1):
             cands = _search_layer(
-                vecs, _adj_view(adj[lc]), q, eps, ef_construction, visited
+                vecs, adj[lc], q, eps, ef_construction, visited
             )
             m_level = m * 2 if lc == 0 else m
             nbrs = _select_neighbors(cands, m_level, vecs)
@@ -198,15 +212,24 @@ def build_hnsw(vecs: np.ndarray, m: int = DEFAULT_M,
             for nb in nbrs:
                 lst = adj[lc][nb]
                 lst.append(i)
-                if len(lst) > m_level:
-                    # shrink with the same diversity heuristic
-                    d = 1.0 - vecs[lst] @ vecs[nb]
-                    order = sorted(range(len(lst)), key=lambda j: (d[j], lst[j]))
-                    ranked = [(d[j], lst[j]) for j in order]
-                    adj[lc][nb] = _select_neighbors(ranked, m_level, vecs)
+                # amortized shrink: let a list run to 2x its cap, then
+                # heuristic-shrink back to m_level once.  Shrinking on
+                # EVERY overflow re-ran the gather + Gram per added edge
+                # and dominated build time (profiled ~50%); the slack
+                # edges only improve recall until the next shrink.
+                if len(lst) > 2 * m_level:
+                    _shrink(adj[lc], nb, m_level, vecs)
             eps = cands
         if li > entry_level:
             entry, entry_level = i, li
+
+    # final pass: enforce the degree cap everywhere (bounds the persisted
+    # row width and the per-hop search cost to the paper's 2M/M)
+    for lc, level in enumerate(adj):
+        m_level = m * 2 if lc == 0 else m
+        for node, lst in level.items():
+            if len(lst) > m_level:
+                _shrink(level, node, m_level, vecs)
 
     frozen: List[Dict[int, np.ndarray]] = [
         {k: np.asarray(sorted(v), dtype=np.int32) for k, v in level.items()}
@@ -215,8 +238,15 @@ def build_hnsw(vecs: np.ndarray, m: int = DEFAULT_M,
     return HnswGraph(levels, frozen, entry, m)
 
 
-def _adj_view(level: Dict[int, List[int]]) -> Dict[int, np.ndarray]:
-    return {k: np.asarray(v, dtype=np.int64) for k, v in level.items()}
+def _shrink(level: Dict[int, List[int]], node: int, m_level: int,
+            vecs: np.ndarray) -> None:
+    """Heuristic-shrink ``node``'s neighbor list to ``m_level`` entries
+    (distance-ranked, ties on neighbor id -- deterministic)."""
+    lst = np.asarray(level[node], dtype=np.int64)
+    d = 1.0 - vecs[lst] @ vecs[node]
+    order = np.lexsort((lst, d))
+    ranked = [(float(d[j]), int(lst[j])) for j in order]
+    level[node] = _select_neighbors(ranked, m_level, vecs)
 
 
 def search_hnsw(vecs: np.ndarray, graph: HnswGraph, q: np.ndarray, k: int,
