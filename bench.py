@@ -343,10 +343,56 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     return {"n_docs": n_docs, "timings": timings}
 
 
+def _cal_worker(seed_secs):
+    """EXACTLY scripts/bandwidth_probe._one's workload (64 x 100k private
+    segments, same seeds), so the numbers are comparable with the values
+    recorded in BENCH_SCALING.md across rounds; returns values/sec."""
+    import importlib.util
+
+    probe_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts",
+        "bandwidth_probe.py",
+    )
+    spec = importlib.util.spec_from_file_location("_bw_probe", probe_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._one(seed_secs)
+
+
+def host_calibration(secs: float = 6.0) -> dict:
+    """Measure this host's codec-kernel throughput at 1 and 16 workers.
+
+    Bench absolutes on this box swing +/-2x night-to-night with a host
+    tax that hits parallel throughput hardest (round-3/4 protocol notes:
+    a night where 71% of JVM CPU was system time; a clean round-4 re-run
+    where EVERY op -- including the pure-numpy resident kernels -- ran
+    ~1.5-2x slower than round 3 while 16-worker per-worker codec
+    throughput was measured down 30%).  These two numbers ride along in
+    the bench JSON so cross-night comparisons can be normalized by
+    measured host capacity instead of guessed at: compare per-worker
+    Mvalues/s against the round-3 reference values (1w ~15.1, 16w ~15.5)
+    before reading any absolute delta as a code change.  Same workload
+    and seeds as scripts/bandwidth_probe.py (where those reference
+    values were recorded).  Costs ~15 s per bench run, zero Spark.
+    """
+    import multiprocessing as mp
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    single = _cal_worker((1000, secs))
+    with mp.Pool(16) as p:
+        rates = p.map(_cal_worker, [(1000 + i, secs) for i in range(16)])
+    return {
+        "host_cal_1w_Mvps": round(single / 1e6, 1),
+        "host_cal_16w_per_worker_Mvps": round(sum(rates) / 16 / 1e6, 1),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cal = host_calibration()
     res = run_bench(sf_dir, cpus)
+    res["timings"].update(cal)
     out = {
         # headline: warm BM25 p95 on the RESIDENT serve path (operators/
         # serve.py) -- the apples-to-apples number against the reference's
