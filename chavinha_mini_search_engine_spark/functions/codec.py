@@ -47,6 +47,56 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_segmented(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode MANY value segments in one vectorized pass.
+
+    ``values`` is the concatenation of all segments; ``seg_starts`` holds
+    each segment's first value index (seg i covers
+    ``seg_starts[i]:seg_starts[i+1]`` with an implicit final end).
+    Returns ``(buf, seg_byte_offsets)`` where ``buf`` is one uint8 array
+    holding every segment's varbyte bytes back-to-back and
+    ``buf[seg_byte_offsets[i]:seg_byte_offsets[i+1]]`` is exactly
+    ``varbyte_encode(segment_i)`` (byte-identical -- the per-value
+    little-endian groups don't cross value boundaries, so slicing the
+    shared buffer at value boundaries is equivalent to independent
+    encodes).  Exists for kernels that emit one encoded cell per segment
+    at large segment counts, where per-segment ``varbyte_encode`` calls
+    would dominate (map-side partial-run encoding in the postings build).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(
+            len(seg_starts) + 1, dtype=np.int64
+        )
+    ngroups = np.ones(v.shape, dtype=np.int64)
+    thresh = np.uint64(1) << np.uint64(7)
+    tmp = v.copy()
+    while True:
+        more = tmp >= thresh
+        if not more.any():
+            break
+        ngroups[more] += 1
+        tmp = tmp >> np.uint64(7)
+        tmp[~more] = 0
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(ngroups.max())):
+        mask = ngroups > k
+        idx = starts[mask] + k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (ngroups[mask] - 1) > k
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    # byte offset where each segment begins = start byte of its first value
+    seg_offsets = np.empty(len(seg_starts) + 1, dtype=np.int64)
+    seg_offsets[:-1] = starts[seg_starts]
+    seg_offsets[-1] = ends[-1]
+    return out, seg_offsets
+
+
 def varbyte_decode(buf: bytes, n: int | None = None) -> np.ndarray:
     """Decode varbyte bytes to a uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -151,6 +151,88 @@ def _encode_runs_many_tid(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _encode_partial_runs(batches):
+    """mapInPandas kernel: NARROW (shuffle-free) partial-run encoding.
+
+    Accumulates input batches to ~1.5M-row chunks, then emits one
+    compressed sorted run per (shard, tid) segment found in the chunk.
+    Unlike the salted encode path there is NO posting-grain exchange at
+    all: the only shuffle in the postings stage becomes the merge
+    stage's run-grain exchange, whose rows are delta+varbyte-compressed
+    (a few bytes per posting instead of ~36 B of raw row).  A term seen
+    by many chunks yields many partial runs; the k-way merge kernel
+    already handles arbitrary run counts per term (it was built for
+    salted runs), so head-term skew needs no explicit salting here --
+    any single run is bounded by the chunk size.
+
+    Segment counts per chunk approach the per-chunk vocabulary, so the
+    encode is vectorized across segments (one lexsort, one gap pass, one
+    varbyte_encode_segmented call per column); the only per-segment
+    python work is buffer slicing.
+    """
+    import os as _os
+
+    chunk_rows = int(_os.environ.get("SPARK_GRAFT_ENCODE_CHUNK", "1500000"))
+
+    def _one_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.codec import varbyte_encode_segmented
+
+        shard = pdf["shard"].values.astype(np.int64)
+        tid = pdf["tid"].values.astype(np.int64)
+        lid = pdf["local_id"].values.astype(np.int64)
+        tf = pdf["tf"].values.astype(np.uint64)
+        sc = pdf["score"].values.astype(np.float64)
+        order = np.lexsort((lid, tid, shard))
+        shard, tid, lid = shard[order], tid[order], lid[order]
+        tf, sc = tf[order], sc[order]
+        chg = (np.diff(tid) != 0) | (np.diff(shard) != 0)
+        starts = np.concatenate(([0], np.flatnonzero(chg) + 1))
+        ends = np.concatenate((starts[1:], [len(tid)]))
+        ns = ends - starts
+        gaps = lid.astype(np.uint64)
+        gaps[1:] = gaps[1:] - lid[:-1].astype(np.uint64)
+        gaps[starts] = lid[starts]
+        doc_buf, doc_off = varbyte_encode_segmented(gaps, starts)
+        tf_buf, tf_off = varbyte_encode_segmented(tf, starts)
+        doc_mv = memoryview(doc_buf.tobytes())
+        tf_mv = memoryview(tf_buf.tobytes())
+        sc_mv = memoryview(sc.tobytes())
+        return pd.DataFrame({
+            "tid": tid[starts],
+            "shard": shard[starts].astype(np.int32),
+            "n": ns.astype(np.int64),
+            "doc_bytes": [
+                bytes(doc_mv[doc_off[i]:doc_off[i + 1]])
+                for i in range(len(starts))
+            ],
+            "tf_bytes": [
+                bytes(tf_mv[tf_off[i]:tf_off[i + 1]])
+                for i in range(len(starts))
+            ],
+            "score_bytes": [
+                bytes(sc_mv[8 * starts[i]:8 * ends[i]])
+                for i in range(len(starts))
+            ],
+        })
+
+    buf: list = []
+    nb = 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        buf.append(pdf)
+        nb += len(pdf)
+        if nb >= chunk_rows:
+            yield _one_chunk(
+                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            )
+            buf, nb = [], 0
+    if nb:
+        yield _one_chunk(
+            pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        )
+
+
 def _make_merge_runs_tid(block_size: int):
     from ..functions.codec import delta_decode, varbyte_decode
 
@@ -379,26 +461,39 @@ def _use_tid_keys() -> bool:
     return os.environ.get("SPARK_GRAFT_TERM_KEYS", "tid") != "str"
 
 
+def _use_mapside_encode() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_POSTINGS", "mapside") != "salted"
+
+
 def build_postings_for(
     stf: DataFrame, tdict: DataFrame, cfg: IndexConfig
 ) -> DataFrame:
-    """scored tf -> block rows, with explicit head-term salting (T6+T7).
+    """scored tf -> block rows (T5+T6+T7); three strategies, one output.
 
-    Tasks are (shard, hash-bucket[, salt]) groups so one invocation encodes
-    many terms; a head term (df > heavy_term_df) is salted by local_id into
-    ``num_salts`` independent runs (bounding any single task) that the
-    merge stage k-way merges back into one blocked posting list.
+    Default ("mapside"): partial-run encoding as a NARROW map over the
+    scored-tf scan -- each ~1.5M-row input chunk emits one compressed
+    sorted run per (shard, tid) it contains, so the ONLY shuffle in the
+    stage is the merge exchange moving delta+varbyte-compressed runs (a
+    few bytes per posting) instead of raw ~36-B posting rows.  Skew
+    needs no explicit handling: any one run is chunk-bounded, and the
+    k-way merge accepts arbitrary run counts per term.
 
-    By default the encode/merge shuffles are keyed on ``tid =
-    xxhash64(field, term)`` -- 8 bytes per posting row instead of the two
-    strings, which at web-scale vocab dominate shuffle bytes.  The
+    ``SPARK_GRAFT_POSTINGS=salted`` keeps the round-3 path (kept for
+    A/B): posting-grain shuffle to (shard, hash-bucket[, salt]) groups,
+    head terms (df > heavy_term_df) salted by local_id into
+    ``num_salts`` independent runs.
+
+    Both paths key the merge on ``tid = xxhash64(field, term)`` -- the
     (field, term) strings re-attach AFTER the merge at block granularity
     (~1/block_size the rows) via a dictionary join, so the on-disk
     postings schema is unchanged.  ``verify_tid_unique`` (run once per
     build in the stats stage) guards the astronomically-unlikely 64-bit
     collision, which would otherwise silently merge two terms' lists.
-    ``SPARK_GRAFT_TERM_KEYS=str`` selects the legacy string-keyed path
-    (kept for A/B measurement).
+    ``SPARK_GRAFT_TERM_KEYS=str`` selects the legacy string-keyed
+    salted path.  All three produce byte-identical merged blocks
+    (asserted in tests/test_codec.py::test_postings_paths_identical).
     """
     if not _use_tid_keys():
         heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
@@ -430,26 +525,37 @@ def build_postings_for(
         return blocks.repartition(cfg.term_buckets, "tbucket")
 
     stf = stf.withColumn("tid", F.xxhash64("field", "term"))
-    heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
-        F.xxhash64("field", "term").alias("tid"), F.lit(True).alias("_heavy")
-    )
-    stf = stf.join(F.broadcast(heavy), "tid", "left")
-    stf = stf.withColumn(
-        "salt",
-        F.when(
-            F.col("_heavy").isNotNull(),
-            F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
-        ).otherwise(F.lit(0)),
-    )
-    # drop the strings BEFORE the encode exchange: this select is what
-    # turns the shuffle rows into (tid, shard, local_id, tf, score, salt)
-    stf = stf.select(
-        "tid", "shard", "local_id", "tf", "score", "salt",
-        F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int").alias("ekey"),
-    )
-    runs = stf.groupBy("shard", "ekey", "salt").applyInPandas(
-        _encode_runs_many_tid, schema=RUN_SCHEMA_TID
-    )
+    if _use_mapside_encode():
+        # map-side partial runs (default): encode is a NARROW stage over
+        # the scored-tf scan -- no posting-grain exchange exists at all.
+        # Each input chunk yields one compressed run per (shard, tid) it
+        # contains; the merge exchange below moves only those compressed
+        # runs.  Head-term skew is bounded by the chunk size, so the
+        # heavy-term broadcast + salt machinery is unnecessary here
+        # (cfg.heavy_term_df/num_salts only affect the "salted" path).
+        stf = stf.select("tid", "shard", "local_id", "tf", "score")
+        runs = stf.mapInPandas(_encode_partial_runs, schema=RUN_SCHEMA_TID)
+    else:
+        heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
+            F.xxhash64("field", "term").alias("tid"), F.lit(True).alias("_heavy")
+        )
+        stf = stf.join(F.broadcast(heavy), "tid", "left")
+        stf = stf.withColumn(
+            "salt",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        # drop the strings BEFORE the encode exchange: this select is what
+        # turns the shuffle rows into (tid, shard, local_id, tf, score, salt)
+        stf = stf.select(
+            "tid", "shard", "local_id", "tf", "score", "salt",
+            F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int").alias("ekey"),
+        )
+        runs = stf.groupBy("shard", "ekey", "salt").applyInPandas(
+            _encode_runs_many_tid, schema=RUN_SCHEMA_TID
+        )
     runs = runs.withColumn(
         "mkey", F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int")
     )

@@ -38,3 +38,76 @@ def test_empty():
     assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
     assert varbyte_decode(b"").size == 0
     assert delta_encode(np.array([], dtype=np.uint64)) == b""
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_varbyte_encode_segmented_matches_per_segment(values, data):
+    from chavinha_mini_search_engine_spark.functions.codec import (
+        varbyte_encode_segmented,
+    )
+
+    arr = np.array(values, dtype=np.uint64)
+    n_segs = data.draw(st.integers(min_value=1, max_value=min(8, len(arr))))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=len(arr) - 1)
+                if len(arr) > 1 else st.nothing(),
+                max_size=n_segs - 1, unique=True,
+            )
+        )
+    ) if len(arr) > 1 else []
+    starts = np.array([0] + cuts, dtype=np.int64)
+    buf, offs = varbyte_encode_segmented(arr, starts)
+    raw = buf.tobytes()
+    bounds = list(starts) + [len(arr)]
+    for i in range(len(starts)):
+        seg = arr[bounds[i]:bounds[i + 1]]
+        assert raw[offs[i]:offs[i + 1]] == varbyte_encode(seg)
+    assert offs[-1] == len(raw)
+
+
+def test_postings_paths_identical(spark, built, monkeypatch):
+    """mapside (default), salted-tid, and salted-str postings strategies
+    must produce byte-identical merged block tables."""
+    import os
+
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        build_postings_for,
+        scored_tf,
+    )
+    from tests.parity_cfg import CFG
+
+    tf = built.read(spark, "tf")
+    td = built.read(spark, "term_dict")
+    stats = built.read(spark, "corpus_stats")
+
+    def blocks_under(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        try:
+            stf = scored_tf(tf, td, stats, CFG)
+            rows = build_postings_for(stf, td, CFG).collect()
+        finally:
+            for k in env:
+                monkeypatch.delenv(k, raising=False)
+        return sorted(
+            (r["field"], r["term"], r["shard"], r["block_idx"],
+             r["first_local"], r["last_local"], r["n"],
+             r["max_score"], bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
+            for r in rows
+        )
+
+    # force a small chunk size so the mapside path exercises multi-chunk
+    # partial runs (multiple runs per term k-way merged) even at fixture scale
+    monkeypatch.setenv("SPARK_GRAFT_ENCODE_CHUNK", "700")
+    mapside = blocks_under({"SPARK_GRAFT_POSTINGS": "mapside"})
+    salted = blocks_under({"SPARK_GRAFT_POSTINGS": "salted"})
+    legacy = blocks_under({"SPARK_GRAFT_POSTINGS": "salted",
+                           "SPARK_GRAFT_TERM_KEYS": "str"})
+    assert mapside == salted
+    assert mapside == legacy
