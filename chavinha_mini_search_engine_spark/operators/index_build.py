@@ -65,6 +65,21 @@ RUN_SCHEMA_TID = (
     "doc_bytes binary, tf_bytes binary, score_bytes binary"
 )
 
+# mapside partial runs: per-posting payload is (gap, tf, dl) -- all
+# varbyte, ~3-4 B/posting -- instead of (gap, tf, f64 score) ~10-11 B.
+# fidx indexes cfg.fields (tid = xxhash64(field, term) pins one field per
+# tid, so fidx is constant per segment); the merge kernel recomputes the
+# idf-free tf-norm from (tf, dl) and idf re-attaches at block grain.
+RUN_SCHEMA_DL = (
+    "tid long, shard int, fidx tinyint, n long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary"
+)
+
+POSTINGS_SCHEMA_TFNORM = (
+    "tid long, shard int, block_idx int, first_local long, "
+    "last_local long, n int, max_tfnorm double, doc_bytes binary, tf_bytes binary"
+)
+
 POSTINGS_SCHEMA_TID = (
     "tid long, shard int, block_idx int, first_local long, "
     "last_local long, n int, max_score double, doc_bytes binary, tf_bytes binary"
@@ -158,12 +173,19 @@ def _encode_partial_runs(batches):
     compressed sorted run per (shard, tid) segment found in the chunk.
     Unlike the salted encode path there is NO posting-grain exchange at
     all: the only shuffle in the postings stage becomes the merge
-    stage's run-grain exchange, whose rows are delta+varbyte-compressed
-    (a few bytes per posting instead of ~36 B of raw row).  A term seen
-    by many chunks yields many partial runs; the k-way merge kernel
-    already handles arbitrary run counts per term (it was built for
-    salted runs), so head-term skew needs no explicit salting here --
+    stage's run-grain exchange, whose rows are delta+varbyte-compressed.
+    A term seen by many chunks yields many partial runs; the k-way merge
+    kernel already handles arbitrary run counts per term (it was built
+    for salted runs), so head-term skew needs no explicit salting here --
     any single run is bounded by the chunk size.
+
+    The per-posting payload is (doc gap, tf, dl) -- all varbyte, ~3-4 B
+    -- NOT the f64 BM25 contribution the salted paths ship (8 B/posting
+    uncompressed, the dominant run payload): the merge kernel recomputes
+    the idf-free tf-norm from (tf, dl), and idf multiplies in at BLOCK
+    grain after the dictionary join.  That also removes the scored-tf
+    dictionary join from posting grain entirely -- at web-scale vocab
+    that join is a second full-corpus shuffle on this path's input.
 
     Segment counts per chunk approach the per-chunk vocabulary, so the
     encode is vectorized across segments (one lexsort, one gap pass, one
@@ -179,12 +201,13 @@ def _encode_partial_runs(batches):
 
         shard = pdf["shard"].values.astype(np.int64)
         tid = pdf["tid"].values.astype(np.int64)
+        fidx = pdf["fidx"].values.astype(np.int8)
         lid = pdf["local_id"].values.astype(np.int64)
         tf = pdf["tf"].values.astype(np.uint64)
-        sc = pdf["score"].values.astype(np.float64)
+        dl = pdf["dl"].values.astype(np.uint64)
         order = np.lexsort((lid, tid, shard))
-        shard, tid, lid = shard[order], tid[order], lid[order]
-        tf, sc = tf[order], sc[order]
+        shard, tid, fidx, lid = shard[order], tid[order], fidx[order], lid[order]
+        tf, dl = tf[order], dl[order]
         chg = (np.diff(tid) != 0) | (np.diff(shard) != 0)
         starts = np.concatenate(([0], np.flatnonzero(chg) + 1))
         ends = np.concatenate((starts[1:], [len(tid)]))
@@ -194,12 +217,14 @@ def _encode_partial_runs(batches):
         gaps[starts] = lid[starts]
         doc_buf, doc_off = varbyte_encode_segmented(gaps, starts)
         tf_buf, tf_off = varbyte_encode_segmented(tf, starts)
+        dl_buf, dl_off = varbyte_encode_segmented(dl, starts)
         doc_mv = memoryview(doc_buf.tobytes())
         tf_mv = memoryview(tf_buf.tobytes())
-        sc_mv = memoryview(sc.tobytes())
+        dl_mv = memoryview(dl_buf.tobytes())
         return pd.DataFrame({
             "tid": tid[starts],
             "shard": shard[starts].astype(np.int32),
+            "fidx": fidx[starts],
             "n": ns.astype(np.int64),
             "doc_bytes": [
                 bytes(doc_mv[doc_off[i]:doc_off[i + 1]])
@@ -209,8 +234,8 @@ def _encode_partial_runs(batches):
                 bytes(tf_mv[tf_off[i]:tf_off[i + 1]])
                 for i in range(len(starts))
             ],
-            "score_bytes": [
-                bytes(sc_mv[8 * starts[i]:8 * ends[i]])
+            "dl_bytes": [
+                bytes(dl_mv[dl_off[i]:dl_off[i + 1]])
                 for i in range(len(starts))
             ],
         })
@@ -231,6 +256,70 @@ def _encode_partial_runs(batches):
         yield _one_chunk(
             pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
         )
+
+
+def _make_merge_runs_tfnorm(block_size: int, k1: float, b: float,
+                            avgdl_by_fidx: list):
+    from ..functions.codec import varbyte_decode
+
+    def _merge_many(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Merge mapside dl-payload partial runs: one (shard, mkey)
+        bucket -> final block rows per ``tid`` segment, carrying
+        ``max_tfnorm`` (the idf-free per-block score bound; idf
+        multiplies in after the block-grain dictionary join).
+
+        All of a tid's runs decode in ONE varbyte pass over their
+        concatenated payloads (runs are self-delimiting; per-run cumsum
+        re-basing recovers absolute ids -- the same single-pass decode
+        the serve kernel uses, search.py:294-305), so python/numpy
+        per-call overhead stays per-term, not per-run, no matter how
+        many chunk-grain partials a head term produced.
+
+        tfnorm = tf / (tf + k1*(1 - b + b*dl/avgdl)) mirrors the serve
+        kernel's denominator expression exactly (same f64 op order);
+        the stored bound gets a 1e-12 relative bump at the join to
+        cover the multiplication-association difference vs the serve
+        side's fl(idf*tf/denom) (see build_postings_for).
+        """
+        shard = int(pdf["shard"].iloc[0])
+        rows = {k: [] for k in (
+            "tid", "shard", "block_idx", "first_local", "last_local",
+            "n", "max_tfnorm", "doc_bytes", "tf_bytes",
+        )}
+        for tid, g in pdf.groupby("tid", sort=False):
+            ns = g["n"].values.astype(np.int64)
+            total = int(ns.sum())
+            adl = float(avgdl_by_fidx[int(g["fidx"].iloc[0])])
+            gaps = varbyte_decode(b"".join(g["doc_bytes"]), total)
+            tfs = varbyte_decode(b"".join(g["tf_bytes"]), total)
+            dls = varbyte_decode(b"".join(g["dl_bytes"]), total)
+            if len(ns) == 1:
+                ids = np.cumsum(gaps, dtype=np.uint64)
+            else:
+                ids_all = np.cumsum(gaps, dtype=np.uint64)
+                ends = np.cumsum(ns)
+                offs = np.zeros(len(ns), dtype=np.uint64)
+                offs[1:] = ids_all[ends[:-1] - 1]
+                ids = ids_all - np.repeat(offs, ns)
+                order = np.argsort(ids, kind="mergesort")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            tfs_f = tfs.astype(np.float64)
+            denom = tfs_f + k1 * (1.0 - b + b * dls.astype(np.float64) / adl)
+            tfnorm = tfs_f / denom
+            for bi, s in enumerate(range(0, len(ids), block_size)):
+                e = min(s + block_size, len(ids))
+                rows["tid"].append(int(tid))
+                rows["shard"].append(shard)
+                rows["block_idx"].append(bi)
+                rows["first_local"].append(int(ids[s]))
+                rows["last_local"].append(int(ids[e - 1]))
+                rows["n"].append(int(e - s))
+                rows["max_tfnorm"].append(float(tfnorm[s:e].max()))
+                rows["doc_bytes"].append(delta_encode(ids[s:e]))
+                rows["tf_bytes"].append(varbyte_encode(tfs[s:e]))
+        return pd.DataFrame(rows)
+
+    return _merge_many
 
 
 def _make_merge_runs_tid(block_size: int):
@@ -468,34 +557,45 @@ def _use_mapside_encode() -> bool:
 
 
 def build_postings_for(
-    stf: DataFrame, tdict: DataFrame, cfg: IndexConfig
+    tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfig
 ) -> DataFrame:
-    """scored tf -> block rows (T5+T6+T7); three strategies, one output.
+    """tf -> block rows (T5+T6+T7); three strategies, one output schema.
 
     Default ("mapside"): partial-run encoding as a NARROW map over the
-    scored-tf scan -- each ~1.5M-row input chunk emits one compressed
-    sorted run per (shard, tid) it contains, so the ONLY shuffle in the
-    stage is the merge exchange moving delta+varbyte-compressed runs (a
-    few bytes per posting) instead of raw ~36-B posting rows.  Skew
-    needs no explicit handling: any one run is chunk-bounded, and the
-    k-way merge accepts arbitrary run counts per term.
+    tf scan -- each ~1.5M-row input chunk emits one compressed sorted
+    run per (shard, tid) it contains, so the ONLY shuffle in the stage
+    is the merge exchange moving delta+varbyte-compressed runs (a few
+    bytes per posting: doc gap + tf + dl, no f64 score) instead of raw
+    ~36-B posting rows.  The dictionary join happens ONLY at block
+    grain (idf * max_tfnorm after the merge) -- posting-grain rows
+    never join anything.  Skew needs no explicit handling: any one run
+    is chunk-bounded, and the k-way merge accepts arbitrary run counts
+    per term.  The stored max_score gets a 1e-12 relative bump: the
+    serve kernel computes fl(fl(idf*tf)/denom) while this path stores
+    fl(idf * fl(max tf/denom)), which can differ by ~2 ulp (~4e-16
+    relative) either way; the bump keeps the block bound a sound upper
+    bound (pruning stays lossless -- a slightly larger bound can only
+    skip fewer blocks) at a cost of ~1e-12 looser pruning.
 
     ``SPARK_GRAFT_POSTINGS=salted`` keeps the round-3 path (kept for
-    A/B): posting-grain shuffle to (shard, hash-bucket[, salt]) groups,
-    head terms (df > heavy_term_df) salted by local_id into
-    ``num_salts`` independent runs.
+    A/B): scored-tf dictionary join, posting-grain shuffle to (shard,
+    hash-bucket[, salt]) groups, head terms (df > heavy_term_df) salted
+    by local_id into ``num_salts`` independent runs, per-posting f64
+    scores shipped through both exchanges.
 
-    Both paths key the merge on ``tid = xxhash64(field, term)`` -- the
+    All paths key the merge on ``tid = xxhash64(field, term)`` -- the
     (field, term) strings re-attach AFTER the merge at block granularity
     (~1/block_size the rows) via a dictionary join, so the on-disk
     postings schema is unchanged.  ``verify_tid_unique`` (run once per
     build in the stats stage) guards the astronomically-unlikely 64-bit
     collision, which would otherwise silently merge two terms' lists.
     ``SPARK_GRAFT_TERM_KEYS=str`` selects the legacy string-keyed
-    salted path.  All three produce byte-identical merged blocks
-    (asserted in tests/test_codec.py::test_postings_paths_identical).
+    salted path.  All three produce identical merged blocks (doc/tf
+    bytes byte-identical, max_score within 1e-9 relative; asserted in
+    tests/test_codec.py::test_postings_paths_identical).
     """
     if not _use_tid_keys():
+        stf = scored_tf(tf, tdict, stats, cfg)
         heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
             "field", "term", F.lit(True).alias("_heavy")
         )
@@ -524,38 +624,74 @@ def build_postings_for(
         )
         return blocks.repartition(cfg.term_buckets, "tbucket")
 
-    stf = stf.withColumn("tid", F.xxhash64("field", "term"))
     if _use_mapside_encode():
         # map-side partial runs (default): encode is a NARROW stage over
-        # the scored-tf scan -- no posting-grain exchange exists at all.
-        # Each input chunk yields one compressed run per (shard, tid) it
-        # contains; the merge exchange below moves only those compressed
-        # runs.  Head-term skew is bounded by the chunk size, so the
-        # heavy-term broadcast + salt machinery is unnecessary here
-        # (cfg.heavy_term_df/num_salts only affect the "salted" path).
-        stf = stf.select("tid", "shard", "local_id", "tf", "score")
-        runs = stf.mapInPandas(_encode_partial_runs, schema=RUN_SCHEMA_TID)
-    else:
-        heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
-            F.xxhash64("field", "term").alias("tid"), F.lit(True).alias("_heavy")
+        # the raw tf scan -- no posting-grain exchange OR join exists at
+        # all.  Each input chunk yields one compressed run per (shard,
+        # tid) it contains; the merge exchange below moves only those
+        # compressed runs.  Head-term skew is bounded by the chunk size,
+        # so the heavy-term broadcast + salt machinery is unnecessary
+        # here (cfg.heavy_term_df/num_salts only affect "salted").
+        fidx = F.coalesce(*[
+            F.when(F.col("field") == f, F.lit(i))
+            for i, f in enumerate(cfg.fields)
+        ]).cast("tinyint")
+        src = tf.select(
+            F.xxhash64("field", "term").alias("tid"),
+            "shard", fidx.alias("fidx"), "local_id", "tf", "dl",
         )
-        stf = stf.join(F.broadcast(heavy), "tid", "left")
-        stf = stf.withColumn(
-            "salt",
-            F.when(
-                F.col("_heavy").isNotNull(),
-                F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
-            ).otherwise(F.lit(0)),
+        runs = src.mapInPandas(_encode_partial_runs, schema=RUN_SCHEMA_DL)
+        runs = runs.withColumn(
+            "mkey", F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int")
         )
-        # drop the strings BEFORE the encode exchange: this select is what
-        # turns the shuffle rows into (tid, shard, local_id, tf, score, salt)
-        stf = stf.select(
-            "tid", "shard", "local_id", "tf", "score", "salt",
-            F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int").alias("ekey"),
+        avg_map = {r["field"]: float(r["avgdl"]) for r in stats.collect()}
+        avgdl_by_fidx = [avg_map.get(f, 1.0) for f in cfg.fields]
+        blocks = runs.groupBy("shard", "mkey").applyInPandas(
+            _make_merge_runs_tfnorm(cfg.block_size, cfg.k1, cfg.b,
+                                    avgdl_by_fidx),
+            schema=POSTINGS_SCHEMA_TFNORM,
         )
-        runs = stf.groupBy("shard", "ekey", "salt").applyInPandas(
-            _encode_runs_many_tid, schema=RUN_SCHEMA_TID
+        # block-grain dictionary join attaches (field, term) AND idf;
+        # max_score = idf * max_tfnorm (+1e-12 bump, see docstring)
+        names = tdict.select(
+            F.xxhash64("field", "term").alias("tid"), "field", "term", "idf"
         )
+        blocks = blocks.join(names, "tid").drop("tid")
+        blocks = blocks.select(
+            "field", "term", "shard", "block_idx", "first_local",
+            "last_local", "n",
+            (F.col("idf") * F.col("max_tfnorm") * F.lit(1.0 + 1e-12))
+            .alias("max_score"),
+            "doc_bytes", "tf_bytes",
+            tbucket_col(F.col("term"), cfg.term_buckets).alias("tbucket"),
+        )
+        # co-locate each tbucket in one task before the dynamic-partition
+        # write: otherwise every task writes a file into every tbucket dir
+        # (tasks x buckets small files; each local-FS commit forks chmod)
+        return blocks.repartition(cfg.term_buckets, "tbucket")
+
+    stf = scored_tf(tf, tdict, stats, cfg)
+    stf = stf.withColumn("tid", F.xxhash64("field", "term"))
+    heavy = tdict.filter(F.col("df") > cfg.heavy_term_df).select(
+        F.xxhash64("field", "term").alias("tid"), F.lit(True).alias("_heavy")
+    )
+    stf = stf.join(F.broadcast(heavy), "tid", "left")
+    stf = stf.withColumn(
+        "salt",
+        F.when(
+            F.col("_heavy").isNotNull(),
+            F.pmod(F.col("local_id"), F.lit(cfg.num_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    # drop the strings BEFORE the encode exchange: this select is what
+    # turns the shuffle rows into (tid, shard, local_id, tf, score, salt)
+    stf = stf.select(
+        "tid", "shard", "local_id", "tf", "score", "salt",
+        F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int").alias("ekey"),
+    )
+    runs = stf.groupBy("shard", "ekey", "salt").applyInPandas(
+        _encode_runs_many_tid, schema=RUN_SCHEMA_TID
+    )
     runs = runs.withColumn(
         "mkey", F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int")
     )
@@ -677,6 +813,14 @@ def attributes(unified: DataFrame, cfg: IndexConfig,
 
 # ---------- orchestrator ----------
 
+def _tag_jobs(spark: SparkSession, stage: str) -> None:
+    """Label subsequent Spark jobs with the build stage.  Shows up in the
+    UI/event logs and lets scripts/shuffle_probe.py attribute shuffle
+    bytes to build stages deterministically (wall-clock attribution on a
+    noisy multi-tenant host is unreliable)."""
+    spark.sparkContext.setJobGroup(f"build:{stage}", f"index build stage {stage}")
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -706,6 +850,7 @@ def build_index(
     # stage: docs
     if not store.stage_done("docs"):
         store.begin_stage("docs")
+        _tag_jobs(spark, "docs")
         t = time.time()
         # the Arrow extraction kernel parallelizes per input partition; a
         # source with few files (common for small synthetic inputs) would
@@ -737,6 +882,7 @@ def build_index(
     # stage: chunks
     if not store.stage_done("chunks"):
         store.begin_stage("chunks")
+        _tag_jobs(spark, "chunks")
         t = time.time()
         ch = chunk_docs(docs)
         if with_embeddings:
@@ -774,6 +920,7 @@ def _index_stages_from_unified(
     # stage: unified corpus with (shard, local_id)
     if not store.stage_done("unified"):
         store.begin_stage("unified")
+        _tag_jobs(spark, "unified")
         t = time.time()
         u = make_unified()
         # assign_layout already hash-partitioned by shard at write geometry
@@ -787,6 +934,7 @@ def _index_stages_from_unified(
     # stage: tf + stats + dictionary
     if not store.stage_done("stats"):
         store.begin_stage("stats")
+        _tag_jobs(spark, "stats")
         t = time.time()
         tf = tokenize_tf(unified, cfg)
         tf = tf.withColumn(
@@ -825,14 +973,14 @@ def _index_stages_from_unified(
 
     # stage: postings, checkpointed per shard-group
     store.begin_stage("postings")
+    _tag_jobs(spark, "postings")
     for g in range(cfg.shard_groups):
         part = f"grp={g}"
         if store.stage_done("postings", part):
             continue
         t = time.time()
         tf_g = tf.filter(F.col("grp") == g)
-        stf = scored_tf(tf_g, td, stats, cfg)
-        blocks = build_postings_for(stf, td, cfg)
+        blocks = build_postings_for(tf_g, td, stats, cfg)
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
         wall = time.time() - t
         if collect_metrics:
@@ -866,6 +1014,7 @@ def _index_stages_from_unified(
     # stores built before doclens existed resumable)
     if not store.stage_done("attributes"):
         store.begin_stage("attributes")
+        _tag_jobs(spark, "attributes")
         t = time.time()
         lens = store.read(spark, "doclens") if store.exists("doclens") else None
         store.write(
@@ -880,6 +1029,7 @@ def _index_stages_from_unified(
     # semantic_mode="graph" loads it (operators/graph_ann.py docstring)
     if cfg.graph_ann and not store.stage_done("graph"):
         store.begin_stage("graph")
+        _tag_jobs(spark, "graph")
         t = time.time()
         from .graph_ann import build_graph_table
         store.write(

@@ -85,7 +85,6 @@ def stream_index_deltas(
     from ..operators.index_build import (
         attributes,
         build_postings_for,
-        scored_tf,
         tokenize_tf,
         unified_corpus,
     )
@@ -201,8 +200,7 @@ def stream_index_deltas(
         )
         part = f"delta={epoch}_{batch_id}"
         tf = tokenize_tf(u, cfg)
-        stf = scored_tf(tf, tdict, stats, cfg)
-        blocks = build_postings_for(stf, tdict, cfg)
+        blocks = build_postings_for(tf, tdict, stats, cfg)
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
         store.write(attributes(u, cfg, tf=tf), "attributes_delta", part=part)
         store.write(u, "unified_delta", part=part)

@@ -73,12 +73,15 @@ def test_varbyte_encode_segmented_matches_per_segment(values, data):
 
 def test_postings_paths_identical(spark, built, monkeypatch):
     """mapside (default), salted-tid, and salted-str postings strategies
-    must produce byte-identical merged block tables."""
-    import os
-
+    must produce identical merged block tables: doc/tf payload bytes
+    byte-identical; max_score equal within 1e-9 relative (the mapside
+    path stores idf * max_tfnorm * (1+1e-12) -- a documented
+    association-order epsilon vs the salted paths' per-posting
+    max(fl(idf*tf/denom)) -- and the bound must never be BELOW the
+    salted value by more than float ulps, or pruning soundness is
+    broken)."""
     from chavinha_mini_search_engine_spark.operators.index_build import (
         build_postings_for,
-        scored_tf,
     )
     from tests.parity_cfg import CFG
 
@@ -90,17 +93,16 @@ def test_postings_paths_identical(spark, built, monkeypatch):
         for k, v in env.items():
             monkeypatch.setenv(k, v)
         try:
-            stf = scored_tf(tf, td, stats, CFG)
-            rows = build_postings_for(stf, td, CFG).collect()
+            rows = build_postings_for(tf, td, stats, CFG).collect()
         finally:
             for k in env:
                 monkeypatch.delenv(k, raising=False)
-        return sorted(
-            (r["field"], r["term"], r["shard"], r["block_idx"],
-             r["first_local"], r["last_local"], r["n"],
+        return {
+            (r["field"], r["term"], r["shard"], r["block_idx"]):
+            (r["first_local"], r["last_local"], r["n"],
              r["max_score"], bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
             for r in rows
-        )
+        }
 
     # force a small chunk size so the mapside path exercises multi-chunk
     # partial runs (multiple runs per term k-way merged) even at fixture scale
@@ -109,5 +111,13 @@ def test_postings_paths_identical(spark, built, monkeypatch):
     salted = blocks_under({"SPARK_GRAFT_POSTINGS": "salted"})
     legacy = blocks_under({"SPARK_GRAFT_POSTINGS": "salted",
                            "SPARK_GRAFT_TERM_KEYS": "str"})
-    assert mapside == salted
-    assert mapside == legacy
+    assert salted == legacy
+    assert set(mapside) == set(salted)
+    for key, m in mapside.items():
+        s = salted[key]
+        assert m[:3] == s[:3], key
+        assert m[4:] == s[4:], key
+        # bound parity: within 1e-9 relative AND never below the salted
+        # per-posting max (minus float-op ulps) -- soundness direction
+        assert abs(m[3] - s[3]) <= 1e-9 * max(abs(s[3]), 1e-30), key
+        assert m[3] >= s[3] * (1.0 - 1e-13), key
