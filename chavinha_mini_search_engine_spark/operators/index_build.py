@@ -95,6 +95,16 @@ def tbucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
+def fidx_col(cfg: "IndexConfig"):
+    """Dense tinyint field index (position in cfg.fields) from the string
+    ``field`` column -- the int stand-in the posting-grain paths carry so
+    parquet scans can prune the string columns entirely."""
+    return F.coalesce(*[
+        F.when(F.col("field") == f, F.lit(i))
+        for i, f in enumerate(cfg.fields)
+    ]).cast("tinyint")
+
+
 # ---------- kernels ----------
 #
 # Both kernels process MANY (field, term) segments per invocation: tasks are
@@ -478,7 +488,21 @@ def doclens(tf: DataFrame, cfg: IndexConfig) -> DataFrame:
     the worst 4N scaler (2.52x) largely from those two extra tf passes.
     tf is shard-colocated on disk, so the pivot's map-side partial agg
     collapses the per-term rows to one row per doc before the exchange
-    (dl repeats on every (doc, field) row; F.first is exact)."""
+    (dl repeats on every (doc, field) row; F.first is exact).  When tf
+    carries the materialized ``fidx`` int column the pivot keys on it
+    instead of the ``field`` string (same values by construction), so
+    this posting-grain scan too reads only int columns."""
+    if "fidx" in tf.columns:
+        n = len(cfg.fields)
+        piv = (
+            tf.groupBy("shard", "local_id")
+            .pivot("fidx", list(range(n)))
+            .agg(F.first("dl"))
+        )
+        return piv.select(
+            "shard", "local_id",
+            *[F.col(str(i)).alias(f) for i, f in enumerate(cfg.fields)],
+        )
     return (
         tf.groupBy("shard", "local_id")
         .pivot("field", list(cfg.fields))
@@ -632,14 +656,18 @@ def build_postings_for(
         # compressed runs.  Head-term skew is bounded by the chunk size,
         # so the heavy-term broadcast + salt machinery is unnecessary
         # here (cfg.heavy_term_df/num_salts only affect "salted").
-        fidx = F.coalesce(*[
-            F.when(F.col("field") == f, F.lit(i))
-            for i, f in enumerate(cfg.fields)
-        ]).cast("tinyint")
-        src = tf.select(
-            F.xxhash64("field", "term").alias("tid"),
-            "shard", fidx.alias("fidx"), "local_id", "tf", "dl",
-        )
+        if "tid" in tf.columns and "fidx" in tf.columns:
+            # materialized tf carries (tid, fidx) ints (stats stage wrote
+            # them in the same codegen pass as the tf write): this scan
+            # reads ONLY fixed-width int columns -- parquet never decodes
+            # the posting-grain (field, term) string pages, and no
+            # per-posting hash runs here
+            src = tf.select("tid", "shard", "fidx", "local_id", "tf", "dl")
+        else:
+            src = tf.select(
+                F.xxhash64("field", "term").alias("tid"),
+                "shard", fidx_col(cfg).alias("fidx"), "local_id", "tf", "dl",
+            )
         runs = src.mapInPandas(_encode_partial_runs, schema=RUN_SCHEMA_DL)
         runs = runs.withColumn(
             "mkey", F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int")
@@ -939,6 +967,15 @@ def _index_stages_from_unified(
         tf = tokenize_tf(unified, cfg)
         tf = tf.withColumn(
             "grp", F.pmod(F.col("shard"), F.lit(cfg.shard_groups)).cast("int")
+        )
+        # precompute the int stand-ins for (field, term) in the SAME
+        # codegen pass as the tf write: every posting-grain consumer
+        # downstream (doclens pivot, mapside postings encode) then scans
+        # fixed-width int columns only and parquet prunes the string
+        # pages -- the strings are decoded at posting grain exactly once
+        # more (term_dict's df agg), everywhere else at block/term grain
+        tf = tf.withColumn("tid", F.xxhash64("field", "term")).withColumn(
+            "fidx", fidx_col(cfg)
         )
         # co-locate tf by shard before the write -- this is a LAYOUT
         # INVESTMENT, not just small-file control: every downstream
