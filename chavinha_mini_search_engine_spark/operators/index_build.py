@@ -34,6 +34,7 @@ Scale design (the part that must survive 10^12 docs):
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -278,12 +279,20 @@ def _make_merge_runs_tfnorm(block_size: int, k1: float, b: float,
         ``max_tfnorm`` (the idf-free per-block score bound; idf
         multiplies in after the block-grain dictionary join).
 
-        All of a tid's runs decode in ONE varbyte pass over their
-        concatenated payloads (runs are self-delimiting; per-run cumsum
-        re-basing recovers absolute ids -- the same single-pass decode
-        the serve kernel uses, search.py:294-305), so python/numpy
-        per-call overhead stays per-term, not per-run, no matter how
-        many chunk-grain partials a head term produced.
+        Fully vectorized across the WHOLE bucket, not per tid: at
+        web-scale vocab the zipf tail makes most terms a handful of
+        postings, so a per-tid python loop pays ~10s of us of
+        interpreter/pandas overhead per TERM and dominates the stage
+        (stage_scaling_probe measured the loop form at 400-690 s of
+        task time for a 480k-page build whose actual codec work is
+        ~30 s).  Shape mirrors _encode_partial_runs: every run payload
+        in the bucket decodes in ONE varbyte pass over the concatenated
+        bytes (runs are self-delimiting; per-run cumsum re-basing
+        recovers absolute ids -- same single-pass decode as the serve
+        kernel, search.py:294-305), one lexsort orders postings by
+        (tid, id), block boundaries tile each tid segment, and the two
+        output columns encode via varbyte_encode_segmented at block
+        grain.  Per-block python work is only the final buffer slicing.
 
         tfnorm = tf / (tf + k1*(1 - b + b*dl/avgdl)) mirrors the serve
         kernel's denominator expression exactly (same f64 op order);
@@ -291,43 +300,72 @@ def _make_merge_runs_tfnorm(block_size: int, k1: float, b: float,
         cover the multiplication-association difference vs the serve
         side's fl(idf*tf/denom) (see build_postings_for).
         """
+        from ..functions.codec import varbyte_encode_segmented
+
         shard = int(pdf["shard"].iloc[0])
-        rows = {k: [] for k in (
-            "tid", "shard", "block_idx", "first_local", "last_local",
-            "n", "max_tfnorm", "doc_bytes", "tf_bytes",
-        )}
-        for tid, g in pdf.groupby("tid", sort=False):
-            ns = g["n"].values.astype(np.int64)
-            total = int(ns.sum())
-            adl = float(avgdl_by_fidx[int(g["fidx"].iloc[0])])
-            gaps = varbyte_decode(b"".join(g["doc_bytes"]), total)
-            tfs = varbyte_decode(b"".join(g["tf_bytes"]), total)
-            dls = varbyte_decode(b"".join(g["dl_bytes"]), total)
-            if len(ns) == 1:
-                ids = np.cumsum(gaps, dtype=np.uint64)
-            else:
-                ids_all = np.cumsum(gaps, dtype=np.uint64)
-                ends = np.cumsum(ns)
-                offs = np.zeros(len(ns), dtype=np.uint64)
-                offs[1:] = ids_all[ends[:-1] - 1]
-                ids = ids_all - np.repeat(offs, ns)
-                order = np.argsort(ids, kind="mergesort")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
-            tfs_f = tfs.astype(np.float64)
-            denom = tfs_f + k1 * (1.0 - b + b * dls.astype(np.float64) / adl)
-            tfnorm = tfs_f / denom
-            for bi, s in enumerate(range(0, len(ids), block_size)):
-                e = min(s + block_size, len(ids))
-                rows["tid"].append(int(tid))
-                rows["shard"].append(shard)
-                rows["block_idx"].append(bi)
-                rows["first_local"].append(int(ids[s]))
-                rows["last_local"].append(int(ids[e - 1]))
-                rows["n"].append(int(e - s))
-                rows["max_tfnorm"].append(float(tfnorm[s:e].max()))
-                rows["doc_bytes"].append(delta_encode(ids[s:e]))
-                rows["tf_bytes"].append(varbyte_encode(tfs[s:e]))
-        return pd.DataFrame(rows)
+        order_runs = np.argsort(pdf["tid"].values, kind="mergesort")
+        run_tid = pdf["tid"].values[order_runs].astype(np.int64)
+        run_n = pdf["n"].values[order_runs].astype(np.int64)
+        run_fidx = pdf["fidx"].values[order_runs].astype(np.int64)
+        doc_col = pdf["doc_bytes"].values[order_runs]
+        tf_col = pdf["tf_bytes"].values[order_runs]
+        dl_col = pdf["dl_bytes"].values[order_runs]
+        total = int(run_n.sum())
+        gaps = varbyte_decode(b"".join(doc_col), total)
+        tfs = varbyte_decode(b"".join(tf_col), total)
+        dls = varbyte_decode(b"".join(dl_col), total)
+        # absolute ids: one bucket-wide cumsum, re-based per run
+        run_ends = np.cumsum(run_n)
+        ids_all = np.cumsum(gaps, dtype=np.uint64)
+        offs = np.zeros(len(run_n), dtype=np.uint64)
+        offs[1:] = ids_all[run_ends[:-1] - 1]
+        ids = ids_all - np.repeat(offs, run_n)
+        # order postings by (tid, id); a local_id appears at most once
+        # per (shard, tid) (tf is aggregated), so the order is unique
+        tid_p = np.repeat(run_tid, run_n)
+        order = np.lexsort((ids, tid_p))
+        ids, tfs, dls, tid_p = ids[order], tfs[order], dls[order], tid_p[order]
+        fidx_p = np.repeat(run_fidx, run_n)[order]
+        adl = np.asarray(avgdl_by_fidx, dtype=np.float64)[fidx_p]
+        tfs_f = tfs.astype(np.float64)
+        denom = tfs_f + k1 * (1.0 - b + b * dls.astype(np.float64) / adl)
+        tfnorm = tfs_f / denom
+        # tid segments -> block tiling (blocks are contiguous in posting
+        # order, so bstarts alone segments every per-block reduction)
+        chg = np.flatnonzero(np.diff(tid_p)) + 1
+        seg_starts = np.concatenate(([0], chg))
+        seg_ends = np.concatenate((chg, [total]))
+        seg_n = seg_ends - seg_starts
+        nblocks = -(-seg_n // block_size)
+        bseg = np.repeat(np.arange(len(seg_n)), nblocks)
+        bidx = np.arange(len(bseg)) - np.repeat(
+            np.cumsum(nblocks) - nblocks, nblocks
+        )
+        bstarts = seg_starts[bseg] + bidx * block_size
+        bends = np.minimum(bstarts + block_size, seg_ends[bseg])
+        gaps_b = ids.copy()
+        gaps_b[1:] = ids[1:] - ids[:-1]
+        gaps_b[bstarts] = ids[bstarts]
+        doc_buf, doc_off = varbyte_encode_segmented(gaps_b, bstarts)
+        tf_buf, tf_off = varbyte_encode_segmented(tfs, bstarts)
+        doc_mv = memoryview(doc_buf.tobytes())
+        tf_mv = memoryview(tf_buf.tobytes())
+        nb = len(bstarts)
+        return pd.DataFrame({
+            "tid": tid_p[bstarts],
+            "shard": np.full(nb, shard, dtype=np.int32),
+            "block_idx": bidx.astype(np.int64),
+            "first_local": ids[bstarts].astype(np.int64),
+            "last_local": ids[bends - 1].astype(np.int64),
+            "n": (bends - bstarts).astype(np.int64),
+            "max_tfnorm": np.maximum.reduceat(tfnorm, bstarts),
+            "doc_bytes": [
+                bytes(doc_mv[doc_off[i]:doc_off[i + 1]]) for i in range(nb)
+            ],
+            "tf_bytes": [
+                bytes(tf_mv[tf_off[i]:tf_off[i + 1]]) for i in range(nb)
+            ],
+        })
 
     return _merge_many
 
@@ -1011,6 +1049,15 @@ def _index_stages_from_unified(
     # stage: postings, checkpointed per shard-group
     store.begin_stage("postings")
     _tag_jobs(spark, "postings")
+    # Arrow batch size, scoped to this stage: the session default (4096)
+    # bounds per-batch memory for WIDE rows (html pages, embeddings), but
+    # the postings stage ships narrow rows (6 int columns into the encode
+    # kernel, ~150-B compressed runs into the merge), where 4096-row
+    # batches make JVM-side per-batch overhead the dominant scan cost
+    # (stage_scaling_probe: 1.6-7 us/row of executor CPU on a 6-int scan)
+    arrow_batch = os.environ.get("SPARK_GRAFT_POSTINGS_ARROW_BATCH", "32768")
+    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch)
     for g in range(cfg.shard_groups):
         part = f"grp={g}"
         if store.stage_done("postings", part):
@@ -1044,6 +1091,7 @@ def _index_stages_from_unified(
             ])
         else:
             store.finish_part("postings", part, {"wall_sec": wall})
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
     store.finish_stage("postings")
 
     # stage: attributes (consumes the materialized doclens table -- no
