@@ -203,70 +203,163 @@ def _encode_partial_runs(batches):
     varbyte_encode_segmented call per column); the only per-segment
     python work is buffer slicing.
     """
-    import os as _os
-
-    chunk_rows = int(_os.environ.get("SPARK_GRAFT_ENCODE_CHUNK", "1500000"))
-
-    def _one_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.codec import varbyte_encode_segmented
-
-        shard = pdf["shard"].values.astype(np.int64)
-        tid = pdf["tid"].values.astype(np.int64)
-        fidx = pdf["fidx"].values.astype(np.int8)
-        lid = pdf["local_id"].values.astype(np.int64)
-        tf = pdf["tf"].values.astype(np.uint64)
-        dl = pdf["dl"].values.astype(np.uint64)
-        order = np.lexsort((lid, tid, shard))
-        shard, tid, fidx, lid = shard[order], tid[order], fidx[order], lid[order]
-        tf, dl = tf[order], dl[order]
-        chg = (np.diff(tid) != 0) | (np.diff(shard) != 0)
-        starts = np.concatenate(([0], np.flatnonzero(chg) + 1))
-        ends = np.concatenate((starts[1:], [len(tid)]))
-        ns = ends - starts
-        gaps = lid.astype(np.uint64)
-        gaps[1:] = gaps[1:] - lid[:-1].astype(np.uint64)
-        gaps[starts] = lid[starts]
-        doc_buf, doc_off = varbyte_encode_segmented(gaps, starts)
-        tf_buf, tf_off = varbyte_encode_segmented(tf, starts)
-        dl_buf, dl_off = varbyte_encode_segmented(dl, starts)
-        doc_mv = memoryview(doc_buf.tobytes())
-        tf_mv = memoryview(tf_buf.tobytes())
-        dl_mv = memoryview(dl_buf.tobytes())
-        return pd.DataFrame({
-            "tid": tid[starts],
-            "shard": shard[starts].astype(np.int32),
-            "fidx": fidx[starts],
-            "n": ns.astype(np.int64),
-            "doc_bytes": [
-                bytes(doc_mv[doc_off[i]:doc_off[i + 1]])
-                for i in range(len(starts))
-            ],
-            "tf_bytes": [
-                bytes(tf_mv[tf_off[i]:tf_off[i + 1]])
-                for i in range(len(starts))
-            ],
-            "dl_bytes": [
-                bytes(dl_mv[dl_off[i]:dl_off[i + 1]])
-                for i in range(len(starts))
-            ],
-        })
-
+    chunk_rows = int(os.environ.get("SPARK_GRAFT_ENCODE_CHUNK", "1500000"))
     buf: list = []
     nb = 0
+    # maybe_sorted: batches of one scan partition arrive in file order,
+    # so when the tf table was written sortWithinPartitions(shard, tid,
+    # local_id) the concatenated chunk is already in kernel order; the
+    # kernel VERIFIES before skipping its sort, so unsorted producers
+    # (streaming micro-batches) are still correct
     for pdf in batches:
         if len(pdf) == 0:
             continue
         buf.append(pdf)
         nb += len(pdf)
         if nb >= chunk_rows:
-            yield _one_chunk(
-                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            yield _encode_chunk(
+                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0],
+                maybe_sorted=True,
             )
             buf, nb = [], 0
     if nb:
-        yield _one_chunk(
-            pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        yield _encode_chunk(
+            pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0],
+            maybe_sorted=True,
         )
+
+
+ENCODE_COLS = ["tid", "shard", "fidx", "local_id", "tf", "dl"]
+
+
+def _is_kernel_sorted(shard: np.ndarray, tid: np.ndarray,
+                      lid: np.ndarray) -> bool:
+    """True iff rows are ordered by (shard, tid, local_id) -- the tf
+    write order.  Three sequential diff passes; no gather."""
+    if len(shard) < 2:
+        return True
+    ds = np.diff(shard)
+    if ds.min() < 0:
+        return False
+    dt = np.diff(tid)
+    dl_ = np.diff(lid)
+    same_shard = ds == 0
+    if np.any(same_shard & (dt < 0)):
+        return False
+    return not np.any(same_shard & (dt == 0) & (dl_ <= 0))
+
+
+def _encode_partial_runs_files(batches):
+    """mapInPandas kernel over (path, rg) rows: same partial-run encode
+    as _encode_partial_runs, but each task reads its parquet ROW GROUPS
+    directly with pyarrow instead of receiving posting rows through the
+    JVM->python Arrow boundary.
+
+    Why: scripts/boundary_probe.py measured Spark's per-row Arrow
+    serialization of a 6-int-column scan at ~1.8 us/row of JVM CPU at
+    local[4], inflating ~3.2x at local[16] (the single largest
+    non-scaling component left in the build), while a pure-JVM scan of
+    the same table costs ~0.1 us/row.  Reading the columnar pages in
+    the worker (pruned to the 6 fixed-width columns) keeps the Arrow
+    boundary O(runs) -- only the compressed run rows cross it -- instead
+    of O(postings).  Spark still plans, schedules, retries, shuffles,
+    and commits; the task payload is just a (file, row-group) unit, the
+    same reader shape Petastorm/Ray data loaders use over parquet.  On
+    a cluster the worker reads from the shared store (HDFS/S3) exactly
+    as the JVM scan would.
+    """
+    import pyarrow.parquet as pq
+
+    chunk_rows = int(os.environ.get("SPARK_GRAFT_ENCODE_CHUNK", "1500000"))
+    for pdf in batches:
+        for path, rg in zip(pdf["path"], pdf["rg"]):
+            tbl = pq.ParquetFile(path).read_row_group(
+                int(rg), columns=ENCODE_COLS
+            )
+            part = tbl.to_pandas()
+            del tbl
+            # each row group encodes independently (no cross-unit
+            # concat): a slice of a row group preserves the tf write's
+            # (shard, tid, local_id) order, so every chunk here takes
+            # _encode_chunk's sorted fast path; chunk_rows only bounds
+            # peak kernel memory for oversized row groups
+            for s in range(0, len(part), chunk_rows):
+                yield _encode_chunk(
+                    part.iloc[s:s + chunk_rows], maybe_sorted=True
+                )
+
+
+def tf_scan_units(tf_dir: str) -> list:
+    """Driver-side enumeration of (file, row_group) scan units for the
+    direct-pyarrow encode path.  Footer reads only -- cheap (one small
+    read per file) and equivalent to what Spark's own split planning
+    does; row-group granularity keeps parallelism independent of how
+    many tasks happened to write the tf table."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    units = []
+    for path in sorted(_glob.glob(os.path.join(tf_dir, "*.parquet"))):
+        for rg in range(pq.ParquetFile(path).num_row_groups):
+            units.append((path, rg))
+    return units
+
+
+def _encode_chunk(pdf: pd.DataFrame, maybe_sorted: bool = False) -> pd.DataFrame:
+    from ..functions.codec import varbyte_encode_segmented
+
+    shard = pdf["shard"].values.astype(np.int64)
+    tid = pdf["tid"].values.astype(np.int64)
+    fidx = pdf["fidx"].values.astype(np.int8)
+    lid = pdf["local_id"].values.astype(np.int64)
+    tf = pdf["tf"].values.astype(np.uint64)
+    dl = pdf["dl"].values.astype(np.uint64)
+    # The stats stage writes tf sortWithinPartitions(shard, tid,
+    # local_id), so a chunk that stayed within one row group is already
+    # in kernel order -- VERIFY (three sequential diff passes, ~free)
+    # and skip the lexsort.  The lexsort's random gather is the
+    # engine's least scalable pattern on shared memory systems
+    # (measured 3.1x per-row inflation at 16 concurrent workers on
+    # identical input, outside Spark); the sorted path replaces it with
+    # sequential scans.  The check, not a trusted flag, keeps the
+    # kernel correct for any producer (streaming micro-batches, legacy
+    # unsorted tf tables).
+    if not (maybe_sorted and _is_kernel_sorted(shard, tid, lid)):
+        order = np.lexsort((lid, tid, shard))
+        shard, tid, fidx, lid = shard[order], tid[order], fidx[order], lid[order]
+        tf, dl = tf[order], dl[order]
+    chg = (np.diff(tid) != 0) | (np.diff(shard) != 0)
+    starts = np.concatenate(([0], np.flatnonzero(chg) + 1))
+    ends = np.concatenate((starts[1:], [len(tid)]))
+    ns = ends - starts
+    gaps = lid.astype(np.uint64)
+    gaps[1:] = gaps[1:] - lid[:-1].astype(np.uint64)
+    gaps[starts] = lid[starts]
+    doc_buf, doc_off = varbyte_encode_segmented(gaps, starts)
+    tf_buf, tf_off = varbyte_encode_segmented(tf, starts)
+    dl_buf, dl_off = varbyte_encode_segmented(dl, starts)
+    doc_mv = memoryview(doc_buf.tobytes())
+    tf_mv = memoryview(tf_buf.tobytes())
+    dl_mv = memoryview(dl_buf.tobytes())
+    return pd.DataFrame({
+        "tid": tid[starts],
+        "shard": shard[starts].astype(np.int32),
+        "fidx": fidx[starts],
+        "n": ns.astype(np.int64),
+        "doc_bytes": [
+            bytes(doc_mv[doc_off[i]:doc_off[i + 1]])
+            for i in range(len(starts))
+        ],
+        "tf_bytes": [
+            bytes(tf_mv[tf_off[i]:tf_off[i + 1]])
+            for i in range(len(starts))
+        ],
+        "dl_bytes": [
+            bytes(dl_mv[dl_off[i]:dl_off[i + 1]])
+            for i in range(len(starts))
+        ],
+    })
 
 
 def _make_merge_runs_tfnorm(block_size: int, k1: float, b: float,
@@ -618,8 +711,15 @@ def _use_mapside_encode() -> bool:
     return os.environ.get("SPARK_GRAFT_POSTINGS", "mapside") != "salted"
 
 
+def _use_pyarrow_scan() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_POSTINGS_SCAN", "pyarrow") != "jvm"
+
+
 def build_postings_for(
-    tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfig
+    tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfig,
+    scan_units: Optional[list] = None,
 ) -> DataFrame:
     """tf -> block rows (T5+T6+T7); three strategies, one output schema.
 
@@ -694,19 +794,38 @@ def build_postings_for(
         # compressed runs.  Head-term skew is bounded by the chunk size,
         # so the heavy-term broadcast + salt machinery is unnecessary
         # here (cfg.heavy_term_df/num_salts only affect "salted").
-        if "tid" in tf.columns and "fidx" in tf.columns:
-            # materialized tf carries (tid, fidx) ints (stats stage wrote
-            # them in the same codegen pass as the tf write): this scan
-            # reads ONLY fixed-width int columns -- parquet never decodes
-            # the posting-grain (field, term) string pages, and no
-            # per-posting hash runs here
-            src = tf.select("tid", "shard", "fidx", "local_id", "tf", "dl")
-        else:
-            src = tf.select(
-                F.xxhash64("field", "term").alias("tid"),
-                "shard", fidx_col(cfg).alias("fidx"), "local_id", "tf", "dl",
+        if scan_units and _use_pyarrow_scan():
+            # direct-pyarrow encode scan (default when the tf table is
+            # materialized): the driver enumerated (file, row-group)
+            # units; each task reads its row groups columnar in the
+            # python worker, pruned to the 6 fixed-width ENCODE_COLS.
+            # The JVM->python Arrow boundary then carries only these
+            # path rows in and compressed runs out -- O(runs), not
+            # O(postings).  boundary_probe.py: the per-row Arrow
+            # serialization it removes cost ~1.8 us/row of JVM CPU and
+            # was the dominant NON-SCALING term in the build (inflates
+            # ~3.2x from local[4] to local[16]).
+            spark = tf.sparkSession
+            paths = spark.createDataFrame(
+                [(p, r) for p, r in scan_units], "path string, rg int"
+            ).repartition(len(scan_units))
+            runs = paths.mapInPandas(
+                _encode_partial_runs_files, schema=RUN_SCHEMA_DL
             )
-        runs = src.mapInPandas(_encode_partial_runs, schema=RUN_SCHEMA_DL)
+        else:
+            if "tid" in tf.columns and "fidx" in tf.columns:
+                # materialized tf carries (tid, fidx) ints (stats stage
+                # wrote them in the same codegen pass as the tf write):
+                # this scan reads ONLY fixed-width int columns -- parquet
+                # never decodes the posting-grain (field, term) string
+                # pages, and no per-posting hash runs here
+                src = tf.select("tid", "shard", "fidx", "local_id", "tf", "dl")
+            else:
+                src = tf.select(
+                    F.xxhash64("field", "term").alias("tid"),
+                    "shard", fidx_col(cfg).alias("fidx"), "local_id", "tf", "dl",
+                )
+            runs = src.mapInPandas(_encode_partial_runs, schema=RUN_SCHEMA_DL)
         runs = runs.withColumn(
             "mkey", F.pmod(F.col("tid"), F.lit(cfg.encode_buckets)).cast("int")
         )
@@ -1025,8 +1144,24 @@ def _index_stages_from_unified(
         # but doubled the attributes stage at BOTH parallelism levels
         # (hash-scattered (shard, local_id) rows defeat partial
         # aggregation), a net loss at the 4N level.
+        # sortWithinPartitions(shard, tid, local_id): the posting-grain
+        # sort happens ONCE here, in Tungsten's spill-aware radix sort,
+        # instead of per-chunk in the python encode kernel.  The encode's
+        # np.lexsort was the build's least scalable kernel on shared
+        # memory systems: its random gather over the chunk working set
+        # saturates memory-level parallelism, measured OUTSIDE Spark at
+        # 3.1x per-row inflation from 4 -> 16 concurrent processes on
+        # identical input (mp.Pool mimic, BENCH_SCALING.md round 4) --
+        # a sorted tf scan turns the kernel into a sequential pass.  The
+        # (shard, local_id) clustering also feeds the doclens/stats
+        # partial aggs the layout comment above describes.
         store.write(
-            tf.repartition(spark.sparkContext.defaultParallelism * 2, "grp", "shard"),
+            # grp leads the sort so the dynamic-partition writer's
+            # required ordering (partition cols first) is satisfied by
+            # prefix -- otherwise FileFormatWriter inserts its own
+            # non-stable sort by grp and destroys the inner order
+            tf.repartition(spark.sparkContext.defaultParallelism * 2, "grp", "shard")
+              .sortWithinPartitions("grp", "shard", "tid", "local_id"),
             "tf", partition_by=["grp"],
         )
         tf = store.read(spark, "tf")
@@ -1064,7 +1199,11 @@ def _index_stages_from_unified(
             continue
         t = time.time()
         tf_g = tf.filter(F.col("grp") == g)
-        blocks = build_postings_for(tf_g, td, stats, cfg)
+        # (file, row-group) units of this group's tf partition dir, for
+        # the direct-pyarrow encode scan (build_postings_for falls back
+        # to the DataFrame scan when the list is empty or disabled)
+        units = tf_scan_units(store.path("tf", part))
+        blocks = build_postings_for(tf_g, td, stats, cfg, scan_units=units)
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
         wall = time.time() - t
         if collect_metrics:
