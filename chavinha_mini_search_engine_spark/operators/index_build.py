@@ -1121,7 +1121,26 @@ def _index_stages_from_unified(
         store.begin_stage("stats")
         _tag_jobs(spark, "stats")
         t = time.time()
-        tf = tokenize_tf(unified, cfg)
+        # ONE doc-grain exchange replaces TWO posting-grain ones: hash-
+        # partitioning unified by shard BEFORE tokenize lets Catalyst
+        # elide both the tokenize groupBy's exchange (HashPartitioning
+        # on `shard` satisfies ClusteredDistribution over the agg keys,
+        # which include shard) and the pre-write layout repartition
+        # (grp = pmod(shard) is a function of shard, so shard-hashed
+        # partitions are already (grp, shard)-colocated).  The bytes
+        # moved drop from ~2x posting-grain rows (tf agg exchange +
+        # layout repartition; shuffle_probe measured the stats stage at
+        # 1376.8 MB @480k pages) to one pass over the doc-grain text
+        # (~300 MB @480k) -- and on the one-box protocol, shuffle bytes
+        # through a shared memory system are exactly the non-scaling
+        # resource (BENCH_SCALING.md round 4).  Plan shape (1 exchange
+        # vs 2) is asserted in tests/test_plans.py.
+        tf = tokenize_tf(
+            unified.repartition(
+                spark.sparkContext.defaultParallelism * 2, "shard"
+            ),
+            cfg,
+        )
         tf = tf.withColumn(
             "grp", F.pmod(F.col("shard"), F.lit(cfg.shard_groups)).cast("int")
         )
@@ -1134,16 +1153,18 @@ def _index_stages_from_unified(
         tf = tf.withColumn("tid", F.xxhash64("field", "term")).withColumn(
             "fidx", fidx_col(cfg)
         )
-        # co-locate tf by shard before the write -- this is a LAYOUT
+        # tf stays co-located by shard on disk -- this is a LAYOUT
         # INVESTMENT, not just small-file control: every downstream
         # consumer aggregates on (shard, local_id)-prefixed keys
         # (corpus_stats distinct, attributes' lens pivot), and shard-
         # colocated input lets their map-side partial aggs collapse rows
         # before shuffling.  A/B at 3.84M pages (BENCH_SCALING.md round 3):
-        # skipping this repartition saved ~117 s in `stats` at local[4]
+        # dropping shard colocation saved ~117 s in `stats` at local[4]
         # but doubled the attributes stage at BOTH parallelism levels
         # (hash-scattered (shard, local_id) rows defeat partial
-        # aggregation), a net loss at the 4N level.
+        # aggregation), a net loss at the 4N level.  The colocation now
+        # comes from the doc-grain pre-tokenize repartition above, which
+        # the agg preserves, instead of a second posting-grain exchange.
         # sortWithinPartitions(shard, tid, local_id): the posting-grain
         # sort happens ONCE here, in Tungsten's spill-aware radix sort,
         # instead of per-chunk in the python encode kernel.  The encode's
@@ -1160,8 +1181,7 @@ def _index_stages_from_unified(
             # required ordering (partition cols first) is satisfied by
             # prefix -- otherwise FileFormatWriter inserts its own
             # non-stable sort by grp and destroys the inner order
-            tf.repartition(spark.sparkContext.defaultParallelism * 2, "grp", "shard")
-              .sortWithinPartitions("grp", "shard", "tid", "local_id"),
+            tf.sortWithinPartitions("grp", "shard", "tid", "local_id"),
             "tf", partition_by=["grp"],
         )
         tf = store.read(spark, "tf")

@@ -119,3 +119,49 @@ def test_postings_scan_prunes_by_tbucket(spark, tiny_pages, tmp_path_factory):
     assert any(
         "tbucket" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ), plan
+
+
+def test_tf_pipeline_single_doc_grain_exchange(spark, docs):
+    """The stats stage's tf pipeline (pre-shard repartition -> tokenize
+    groupBy -> sortWithinPartitions) must contain exactly ONE exchange,
+    and it must sit BELOW the aggregate (i.e. it moves doc-grain text
+    rows, not posting-grain tf rows): HashPartitioning on `shard`
+    satisfies the agg's ClusteredDistribution (shard is an agg key) and
+    grp = pmod(shard) makes the written layout (grp, shard)-colocated
+    without a second posting-grain exchange (BENCH_SCALING.md round 4:
+    this replaced 2 posting-grain exchanges, -1.16 GB stats-stage
+    shuffle at 480k pages)."""
+    import re
+
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        fidx_col,
+        tokenize_tf,
+    )
+
+    cfg = IndexConfig(num_doc_shards=8, shard_groups=1)
+    u = docs.select(
+        (F.xxhash64("doc_id") % 8).cast("int").alias("shard"),
+        F.col("doc_id").alias("local_id"),
+        F.col("text").alias("content"),
+        F.lit("t").alias("title"),
+        F.lit("d").alias("description"),
+        F.lit(None).cast("string").alias("chunk_content"),
+    )
+    tf = tokenize_tf(u.repartition(8, "shard"), cfg)
+    tf = tf.withColumn("grp", F.pmod(F.col("shard"), F.lit(1)).cast("int"))
+    tf = tf.withColumn("tid", F.xxhash64("field", "term")).withColumn(
+        "fidx", fidx_col(cfg)
+    )
+    out = tf.sortWithinPartitions("grp", "shard", "tid", "local_id")
+    plan = formatted_plan(out)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    # the one exchange must be the doc-grain repartition below the agg:
+    # in the numbered bottom-up detail listing the Exchange node appears
+    # before (smaller id than) every HashAggregate
+    ex_ids = [int(m.group(1)) for m in
+              re.finditer(r"^\((\d+)\) Exchange", plan, re.M)]
+    agg_ids = [int(m.group(1)) for m in
+               re.finditer(r"^\((\d+)\) (?:\w*)HashAggregate", plan, re.M)]
+    assert agg_ids and max(ex_ids) < min(agg_ids), plan
