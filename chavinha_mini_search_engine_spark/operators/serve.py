@@ -58,7 +58,8 @@ POST_COLS = [
 
 
 def _read_parts_arrow(
-    root: str, columns: List[str], part_names: Optional[List[str]] = None
+    root: str, columns: List[str], part_names: Optional[List[str]] = None,
+    filter=None,
 ) -> pd.DataFrame:
     """Union a store table as pandas -- pure pyarrow, no Spark.
 
@@ -85,14 +86,29 @@ def _read_parts_arrow(
     for p in parts:
         ds = pads.dataset(p, format="parquet", partitioning="hive")
         cols = [c for c in columns if c in ds.schema.names]
-        frames.append(ds.to_table(columns=cols).to_pandas())
+        f = filter if filter is None or "shard" in ds.schema.names else None
+        frames.append(ds.to_table(columns=cols, filter=f).to_pandas())
     return pd.concat(frames, ignore_index=True)
 
 
 class ResidentSearcher:
-    """In-process searcher over a built IndexStore (see module docstring)."""
+    """In-process searcher over a built IndexStore (see module docstring).
 
-    def __init__(self, store: IndexStore, cfg: Optional[IndexConfig] = None):
+    ``shards``: optional shard-id subset — the content-node deployment
+    shape.  A replica constructed with a subset loads ONLY those shards'
+    attribute states / posting groups / graph rows (the tables are
+    hive-partitioned by shard on disk, so the pyarrow reads prune at the
+    directory level) and answers ``search_candidates`` for them; a
+    gateway (any process holding the term dictionary + doc handles, e.g.
+    a ``shards=()`` instance) merges candidate sets from all replicas
+    with ``merge_candidates`` and enriches — identical semantics to a
+    single all-shards ``search()`` because that method is now literally
+    the composition of the two halves over one process's shards.
+    """
+
+    def __init__(self, store: IndexStore, cfg: Optional[IndexConfig] = None,
+                 shards: Optional[List[int]] = None):
+        self.shards = None if shards is None else {int(s) for s in shards}
         if cfg is None:
             saved = store.manifest.get("index_config")
             if saved:
@@ -117,12 +133,24 @@ class ResidentSearcher:
         # overhead inside the per-shard kernel)
         from .search import post_groups, shard_state
 
-        attrs = _read_parts_arrow(store.path("attributes"), ATTR_COLS)
+        # shard-subset (content-node) pruning: hive shard= tables prune at
+        # the directory level, the tbucket-partitioned postings table
+        # filters rows (a cluster deployment would co-partition postings
+        # by shard per node; the filter is the single-disk stand-in)
+        shard_filter = None
+        if self.shards is not None:
+            import pyarrow.compute as pc
+
+            shard_filter = pc.field("shard").isin(sorted(self.shards))
+
+        attrs = _read_parts_arrow(store.path("attributes"), ATTR_COLS,
+                                  filter=shard_filter)
         if store.has_parts("attributes_delta"):
             attrs = pd.concat(
                 [attrs, _read_parts_arrow(
                     store.path("attributes_delta"), ATTR_COLS,
-                    part_names=store.committed_parts("attributes_delta"))],
+                    part_names=store.committed_parts("attributes_delta"),
+                    filter=shard_filter)],
                 ignore_index=True,
             )
         self.state_by_shard = {
@@ -134,6 +162,7 @@ class ResidentSearcher:
         post = _read_parts_arrow(
             store.path("postings"), POST_COLS,
             part_names=store.committed_parts("postings"),
+            filter=shard_filter,
         )
         self.post_by_key: Dict[Tuple[str, str, int], tuple] = {}
         for s, g in post.groupby("shard", sort=False):
@@ -163,7 +192,8 @@ class ResidentSearcher:
         self._graph_rows_by_shard: Dict[int, pd.DataFrame] = {}
         if store.exists("graph"):
             grows = _read_parts_arrow(
-                store.path("graph"), ["shard", "local_id", "level", "nbrs"]
+                store.path("graph"), ["shard", "local_id", "level", "nbrs"],
+                filter=shard_filter,
             )
             self._graph_rows_by_shard = {
                 int(s): g for s, g in grows.groupby("shard")
@@ -188,8 +218,19 @@ class ResidentSearcher:
 
     # -- query path (zero Spark jobs) --
 
-    def search(self, query: str, search_type: str = "bm25",
-               k: int = DEFAULT_LIMIT, semantic_mode: str = "exact") -> List[dict]:
+    def search_candidates(
+        self, query: str, search_type: str = "bm25",
+        k: int = DEFAULT_LIMIT, semantic_mode: str = "exact",
+    ) -> Optional[Tuple[np.ndarray, ...]]:
+        """Scatter half of the query: score THIS process's shards and
+        return its candidate pool as 7 aligned arrays (ids, sort keys,
+        dedup keys, parents, doc_types, parent_doc_types, scores), or
+        None if nothing matched locally.  Each per-shard selection is
+        already top-k-deduped, so a pool holds <= k * n_local_shards
+        rows -- the scatter/gather payload a content node ships to the
+        gateway.  ``search()`` is exactly merge+enrich over one
+        process's pool, so rank/score parity tests on it cover this
+        decomposition by construction."""
         if not 1 <= k <= MAX_LIMIT:
             raise ValueError(f"limit must be in [1, {MAX_LIMIT}]")
         if search_type not in ("bm25", "semantic", "hybrid"):
@@ -211,7 +252,7 @@ class ResidentSearcher:
             if (f, t) in self.term_dict and weights.get(f)
         }
         if search_type != "semantic" and not term_payload:
-            return []
+            return None
         qvec = embed_text(query) if search_type in ("semantic", "hybrid") else None
         q64 = np.asarray(qvec, dtype=np.float64) if qvec is not None else None
         avgdl = {f: self.stats.get(f, (0, 1.0))[1] or 1.0 for f in INDEXED_FIELDS}
@@ -272,23 +313,44 @@ class ResidentSearcher:
             sel_pdts.append(state.parent_doc_types[keep])
             sel_scores.append(s)
         if not sel_ids:
+            return None
+        return tuple(
+            np.concatenate(x)
+            for x in (sel_ids, sel_sort, sel_keys, sel_parents,
+                      sel_dts, sel_pdts, sel_scores)
+        )
+
+    @staticmethod
+    def merge_candidates(
+        pools: List[Optional[Tuple[np.ndarray, ...]]], k: int
+    ) -> List[tuple]:
+        """Gather half: global merge across candidate pools (one per
+        content node) -- parent dedup + deterministic tie-break (D1), as
+        in SearchEngine's window.  Input order is irrelevant: the sort
+        key (score, ids_sort) is a total order because ids_sort is
+        unique per doc and a doc lives in exactly one shard, so any
+        partition of shards over processes merges identically."""
+        pools = [p for p in pools if p is not None]
+        if not pools:
             return []
-        # global merge across shards: parent dedup + deterministic
-        # tie-break (D1), as in SearchEngine's window -- <= shards*k rows
-        ids = np.concatenate(sel_ids)
-        scores = np.concatenate(sel_scores)
-        order = np.lexsort((np.concatenate(sel_sort), -scores))
-        keys = np.concatenate(sel_keys)[order]
-        _, first = np.unique(keys, return_index=True)
+        ids, sort, keys, parents, dts, pdts, scores = (
+            np.concatenate([p[i] for p in pools]) for i in range(7)
+        )
+        order = np.lexsort((sort, -scores))
+        _, first = np.unique(keys[order], return_index=True)
         keep = order[np.sort(first)[:k]]
-        parents = np.concatenate(sel_parents)
-        dts = np.concatenate(sel_dts)
-        pdts = np.concatenate(sel_pdts)
-        hits = [
+        return [
             (ids[i], parents[i], dts[i], pdts[i], float(scores[i]))
             for i in keep
         ]
-        return self._enrich(hits, terms)
+
+    def search(self, query: str, search_type: str = "bm25",
+               k: int = DEFAULT_LIMIT, semantic_mode: str = "exact") -> List[dict]:
+        pool = self.search_candidates(query, search_type, k, semantic_mode)
+        if pool is None:
+            return []
+        hits = self.merge_candidates([pool], k)
+        return self._enrich(hits, _query_terms(query))
 
     def _graph_for(self, shard: int, state, dim: int):
         """(HnswGraph, subset positions) for a shard, cached.  Prefers the

@@ -150,3 +150,35 @@ def test_hybrid_two_phase_degenerate_parity(spark, tmp_path_factory):
             assert [g[0] for g in got] == [e[0] for e in exp], (q, k)
             for (gid, gs), (_, es) in zip(got, exp):
                 assert abs(gs - es) < 1e-8, (q, k, gid, gs, es)
+
+
+@pytest.mark.parametrize("st,mode", [
+    ("bm25", "exact"), ("hybrid", "exact"),
+    ("semantic", "exact"), ("semantic", "lsh"),
+])
+def test_sharded_fanout_matches_single_process(built, resident, st, mode):
+    """Content-node decomposition: P=4 shard-subset replicas, each scoring
+    a disjoint quarter of the shards (shards=), must produce candidate
+    pools whose gateway merge_candidates ranks exactly like one
+    all-shards search() -- the scatter/gather layer a cluster deployment
+    adds must be a no-op on semantics."""
+    P = 4
+    replicas = [
+        ResidentSearcher(built, CFG,
+                         shards=[s for s in range(CFG.num_doc_shards)
+                                 if s % P == r])
+        for r in range(P)
+    ]
+    # the replicas must actually hold disjoint shard subsets
+    for r, rep in enumerate(replicas):
+        assert set(rep.state_by_shard) <= {s for s in range(CFG.num_doc_shards)
+                                           if s % P == r}
+    gateway = ResidentSearcher(built, CFG, shards=[])
+    assert not gateway.state_by_shard  # gateway holds no content shards
+    for q in PERF_QUERIES[:3]:
+        pools = [rep.search_candidates(q, st, 10, mode) for rep in replicas]
+        hits = ResidentSearcher.merge_candidates(pools, 10)
+        from chavinha_mini_search_engine_spark.operators.search import _query_terms
+        got = norm(gateway._enrich(hits, _query_terms(q)))
+        exp = norm(resident.search(q, st, 10, semantic_mode=mode))
+        assert got == exp, (st, mode, q, got, exp)
