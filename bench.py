@@ -42,12 +42,19 @@ def _per_class_queries(spark, store, n_selective: int = 20, n_mid: int = 20,
         for r in store.read(spark, "corpus_stats").collect()
     }
     n = max(stats.get("content", 1), 1)
-    # per-term max df across fields approximates the query's match
-    # fraction (bm25 matches a term in any searched field)
+    # per-term max df across the bm25-searched fields approximates the
+    # query's match fraction; restrict to those fields (a chunk_content-
+    # only term has no bm25 postings -> a vacuous 0-hit query) and to
+    # terms the query tokenizer round-trips (a sub-token fragment in the
+    # dict, e.g. a 1-char title word, dies in _query_terms)
+    from chavinha_mini_search_engine_spark.operators.search import _query_terms
+
     td = [
         (r["term"], int(r["mx"]))
         for r in store.read(spark, "term_dict")
+        .filter(F.col("field").isin("title", "content", "description"))
         .groupBy("term").agg(F.max("df").alias("mx")).collect()
+        if _query_terms(r["term"]) == [r["term"]]
     ]
 
     def pick(lo_f, hi_f, count):

@@ -1111,7 +1111,11 @@ def _index_stages_from_unified(
         # assign_layout already hash-partitioned by shard at write geometry
         # (1 task -> 1 partition dir: small-file + fork control); a second
         # repartition here would shuffle the wide rows again
-        store.write(u, "unified", partition_by=["shard"])
+        # ~1 MB row groups: the serve path point-fetches <=k docs by id
+        # from this table (id-sorted within shard), and row-group min/max
+        # pruning only bites if a row group is much smaller than a shard
+        store.write(u, "unified", partition_by=["shard"],
+                    options={"parquet.block.size": str(1 << 20)})
         store.finish_stage("unified", {"wall_sec": time.time() - t})
 
     unified = store.read(spark, "unified")

@@ -47,7 +47,15 @@ class IndexStore:
             "build_id": build_id or uuid.uuid4().hex,
             "stages": {},
         }
-        self._write_manifest()
+        if not m:
+            # only materialize a fresh manifest; opening an existing store
+            # must not write (concurrent read-only openers -- e.g. several
+            # serving replicas attaching to one index -- would race on the
+            # manifest tmp file)
+            self._write_manifest()
+        # unique-per-instance tmp suffix so any two writers that do race
+        # (same store opened twice for building) still never collide
+        self._tmp_tag = uuid.uuid4().hex[:8]
 
     @property
     def build_id(self) -> str:
@@ -61,7 +69,7 @@ class IndexStore:
         return {}
 
     def _write_manifest(self) -> None:
-        tmp = self.manifest_path + ".tmp"
+        tmp = self.manifest_path + ".tmp_" + getattr(self, "_tmp_tag", "0")
         with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, self.manifest_path)  # atomic on POSIX
@@ -175,11 +183,21 @@ class IndexStore:
         return os.path.join(p, part) if part else p
 
     def write(self, df: DataFrame, table: str, part: Optional[str] = None,
-              partition_by: Optional[list] = None) -> str:
-        """Atomic-ish: write to tmp, rename into place."""
+              partition_by: Optional[list] = None,
+              options: Optional[dict] = None) -> str:
+        """Atomic-ish: write to tmp, rename into place.
+
+        ``options`` passes parquet writer options through -- the doc store
+        (unified/unified_delta) sets a small ``parquet.block.size`` so
+        point lookups decode a bounded row group instead of a whole
+        shard's column chunk (serve-path enrichment reads <=k rows by id;
+        one 128 MB-default row group makes the id-sorted min/max stats
+        useless and every fetch decompress the full content column)."""
         final = self.path(table, part)
         tmp = final + f".__tmp_{uuid.uuid4().hex[:8]}"
         w = df.write.mode("overwrite")
+        if options:
+            w = w.options(**options)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)

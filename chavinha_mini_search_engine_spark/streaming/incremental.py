@@ -203,7 +203,8 @@ def stream_index_deltas(
         blocks = build_postings_for(tf, tdict, stats, cfg)
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
         store.write(attributes(u, cfg, tf=tf), "attributes_delta", part=part)
-        store.write(u, "unified_delta", part=part)
+        store.write(u, "unified_delta", part=part,
+                    options={"parquet.block.size": str(1 << 20)})
         # fold this batch's maxima into the running offsets (the batch is
         # small, so this agg is over the micro-batch only) and persist them
         # with the segment commit
