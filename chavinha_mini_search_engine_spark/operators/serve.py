@@ -517,12 +517,24 @@ class ResidentSearcher:
         return self._doc_fetcher.fetch(
             ids, DOC_COLS, spark_pmod_bucket, self.cfg.num_doc_shards)
 
-    def _enrich(self, hits: List[tuple], terms: List[str]) -> List[dict]:
+    def fill_docrows(self, ids: List[str]) -> Dict[str, tuple]:
+        """Two-phase summary fill (the Vespa match-then-fill analog,
+        reference config/vespa/services.xml content cluster): a gateway
+        that merged candidate ids across content nodes asks each OWNING
+        node for just its hits' doc rows, so the ≤k-row doc-store fetch
+        is parallel across nodes and hits each node's warm footer cache.
+        Pass the result to ``_enrich(..., docrows=...)``."""
+        return self._fetch_docrows(ids)
+
+    def _enrich(self, hits: List[tuple], terms: List[str],
+                docrows: Optional[Dict[str, tuple]] = None) -> List[dict]:
         """hits: [(id, parent_id, doc_type, parent_doc_type, score)] in
-        final rank order."""
+        final rank order.  ``docrows`` (optional) is a prefetched
+        fill_docrows result; when absent the gateway fetches itself."""
         if not hits:
             return []
-        docrows = self._fetch_docrows([str(h[0]) for h in hits])
+        if docrows is None:
+            docrows = self._fetch_docrows([str(h[0]) for h in hits])
         out = []
         for rank, (hid, parent_id, doc_type, parent_doc_type, score) \
                 in enumerate(hits, 1):

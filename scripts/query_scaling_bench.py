@@ -102,14 +102,18 @@ def _worker(idx_dir: str, shards, conn) -> None:
         if msg[0] == "q":  # scatter: one query -> candidate pool
             _, query, st, k = msg
             conn.send(rs.search_candidates(query, st, k))
+        elif msg[0] == "fill":  # two-phase summary fill for owned hits
+            conn.send(rs.fill_docrows(msg[1]))
         elif msg[0] == "stream":  # replica: timed steady-state query loop
             _, queries, st, k, passes = msg
+            st, _, mode = st.partition(":")  # "semantic:lsh" etc.
+            mode = mode or "exact"
             for q in queries:  # pass 0: unmeasured warm-up over the FULL
-                rs.search(q, st, k)  # set (cold postings fetch, caches)
+                rs.search(q, st, k, mode)  # set (cold postings, caches)
             t0 = time.time()
             for _ in range(passes):
                 for q in queries:
-                    rs.search(q, st, k)
+                    rs.search(q, st, k, mode)
             conn.send(("wall", time.time() - t0, passes * len(queries)))
 
 
@@ -121,9 +125,17 @@ def _spawn(idx_dir: str, shards):
     return p, parent
 
 
-def run_scatter(idx_dir: str, classes: dict, P: int, k: int = 10) -> dict:
+def run_scatter(idx_dir: str, classes: dict, P: int, k: int = 10,
+                two_phase: bool = False) -> dict:
     """One index over P content nodes; gateway merges. Sequential closed
-    loop -> per-class latency distribution."""
+    loop -> per-class latency distribution.
+
+    ``two_phase``: after the id merge, the gateway requests doc rows only
+    from the nodes OWNING the winning hits (serve.fill_docrows -- the
+    Vespa match-then-summary-fill shape) instead of fetching from its own
+    doc-store handles; the fill runs parallel across nodes and reuses
+    each node's warm parquet-footer cache."""
+    from chavinha_mini_search_engine_spark.functions.xxhash import spark_pmod_bucket
     from chavinha_mini_search_engine_spark.operators.search import _query_terms
     from chavinha_mini_search_engine_spark.operators.serve import ResidentSearcher
     from chavinha_mini_search_engine_spark.sources.tables import IndexStore
@@ -137,27 +149,35 @@ def run_scatter(idx_dir: str, classes: dict, P: int, k: int = 10) -> dict:
         owned += conn.recv()[1]
     assert owned == NUM_SHARDS, (owned, NUM_SHARDS)
     gateway = ResidentSearcher(IndexStore(idx_dir, build_id="q"), shards=[])
+
+    def ask(q) -> float:
+        for _, conn in procs:
+            conn.send(("q", q, "bm25", k))
+        t0 = time.time()
+        pools = [conn.recv() for _, conn in procs]
+        hits = ResidentSearcher.merge_candidates(pools, k)
+        docrows = None
+        if two_phase and hits:
+            by_node: dict = {}
+            for h in hits:
+                node = spark_pmod_bucket(str(h[0]), NUM_SHARDS) % P
+                by_node.setdefault(node, []).append(str(h[0]))
+            for r, ids in by_node.items():
+                procs[r][1].send(("fill", ids))
+            docrows = {}
+            for r in by_node:
+                docrows.update(procs[r][1].recv())
+        gateway._enrich(hits, _query_terms(q), docrows=docrows)
+        return time.time() - t0
+
     out: dict = {}
     all_lat: list = []
     for cls, qs in classes.items():
         lat = []
         for i, q in enumerate(qs):
-            for _, conn in procs:
-                conn.send(("q", q, "bm25", k))
-            t0 = time.time()
-            # warm-up: first query of a class primes caches, re-ask it
-            pools = [conn.recv() for _, conn in procs]
-            hits = ResidentSearcher.merge_candidates(pools, k)
-            gateway._enrich(hits, _query_terms(q))
-            el = time.time() - t0
-            if i == 0:  # re-run the warm-up query measured
-                for _, conn in procs:
-                    conn.send(("q", q, "bm25", k))
-                t0 = time.time()
-                pools = [conn.recv() for _, conn in procs]
-                hits = ResidentSearcher.merge_candidates(pools, k)
-                gateway._enrich(hits, _query_terms(q))
-                el = time.time() - t0
+            el = ask(q)
+            if i == 0:  # first query of a class primes caches, re-ask it
+                el = ask(q)
             lat.append(el)
         lat.sort()
         all_lat.extend(lat)
@@ -176,7 +196,7 @@ def run_scatter(idx_dir: str, classes: dict, P: int, k: int = 10) -> dict:
 
 
 def run_replica(idx_dir: str, classes: dict, P: int, k: int = 10,
-                passes: int = 4) -> dict:
+                passes: int = 4, st: str = "bm25") -> dict:
     """P full-index replicas, aggregate steady-state QPS.
 
     Each replica serves the IDENTICAL interleaved traffic mix (the cluster
@@ -195,7 +215,7 @@ def run_replica(idx_dir: str, classes: dict, P: int, k: int = 10,
         conn.recv()
     t0 = time.time()
     for _, conn in procs:
-        conn.send(("stream", stream, "bm25", k, passes))
+        conn.send(("stream", stream, st, k, passes))
     walls = [conn.recv() for _, conn in procs]
     wall_outer = time.time() - t0
     for p, conn in procs:
@@ -216,9 +236,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--build":
         build(sys.argv[2], sys.argv[3])
         return
-    idx_dir = "/tmp/qscale_idx"
-    qjson = "/tmp/qscale_queries.json"
+    idx_dir = os.environ.get("QSCALE_IDX_DIR", "/tmp/qscale_idx")
+    qjson = idx_dir.rstrip("/") + "_queries.json"
     if not os.path.exists(os.path.join(idx_dir, "_manifest.json")) or \
+            not os.path.exists(qjson) or \
             os.environ.get("QSCALE_REBUILD", "0") == "1":
         import shutil
 
@@ -235,31 +256,46 @@ def main() -> None:
     summary = {
         "workload": f"resident BM25 serving, {meta['n_pages']} pages, "
                     f"{NUM_SHARDS} shards{'' if EMBED else ', embeddings OFF'}",
-        "scatter": {}, "replica": {},
+        "scatter": {},
         "ts": dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds"),
     }
-    for P in LEVELS:
-        print(f"scatter P={P} ...", flush=True)
-        summary["scatter"][str(P)] = run_scatter(idx_dir, classes, P)
-        print(json.dumps(summary["scatter"][str(P)]), flush=True)
-    for P in LEVELS:
-        print(f"replica P={P} ...", flush=True)
-        summary["replica"][str(P)] = run_replica(idx_dir, classes, P)
-        print(json.dumps(summary["replica"][str(P)]), flush=True)
+    if os.environ.get("QSCALE_SKIP_SCATTER", "0") != "1":
+        two_phase = os.environ.get("QSCALE_TWO_PHASE", "0") == "1"
+        if two_phase:
+            summary["scatter_fill"] = "two_phase"
+        for P in LEVELS:
+            print(f"scatter P={P} ...", flush=True)
+            summary["scatter"][str(P)] = run_scatter(
+                idx_dir, classes, P, two_phase=two_phase)
+            print(json.dumps(summary["scatter"][str(P)]), flush=True)
+    else:
+        del summary["scatter"]
+    types = os.environ.get("QSCALE_SEARCH_TYPES", "bm25").split(",")
+    for st in types:
+        key = "replica" if st == "bm25" else "replica_" + st.replace(":", "_")
+        summary.setdefault(key, {})
+        for P in LEVELS:
+            print(f"replica[{st}] P={P} ...", flush=True)
+            summary[key][str(P)] = run_replica(idx_dir, classes, P, st=st)
+            print(json.dumps(summary[key][str(P)]), flush=True)
     lo, hi = str(LEVELS[0]), str(LEVELS[-1])
     ratio = LEVELS[-1] // LEVELS[0]
-    sc = summary["scatter"]
-    summary["scatter_latency_speedup"] = round(
-        sc[lo]["overall_mean_ms"] / sc[hi]["overall_mean_ms"], 3)
-    summary["scatter_efficiency"] = round(
-        summary["scatter_latency_speedup"] / ratio, 3)
-    rp = summary["replica"]
-    summary["replica_qps_speedup"] = round(rp[hi]["qps"] / rp[lo]["qps"], 3)
-    summary["replica_efficiency"] = round(
-        summary["replica_qps_speedup"] / ratio, 3)
+    if "scatter" in summary:
+        sc = summary["scatter"]
+        summary["scatter_latency_speedup"] = round(
+            sc[lo]["overall_mean_ms"] / sc[hi]["overall_mean_ms"], 3)
+        summary["scatter_efficiency"] = round(
+            summary["scatter_latency_speedup"] / ratio, 3)
+    for st in types:
+        key = "replica" if st == "bm25" else "replica_" + st.replace(":", "_")
+        rp = summary[key]
+        summary[f"{key}_qps_speedup"] = round(rp[hi]["qps"] / rp[lo]["qps"], 3)
+        summary[f"{key}_efficiency"] = round(
+            summary[f"{key}_qps_speedup"] / ratio, 3)
     print(json.dumps(summary), flush=True)
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
-        f.write("\n```json\n" + json.dumps(summary) + "\n```\n")
+    if os.environ.get("QSCALE_NO_RECORD", "0") != "1":
+        with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+            f.write("\n```json\n" + json.dumps(summary) + "\n```\n")
 
 
 if __name__ == "__main__":
