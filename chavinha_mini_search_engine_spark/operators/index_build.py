@@ -106,6 +106,17 @@ def fidx_col(cfg: "IndexConfig"):
     ]).cast("tinyint")
 
 
+def field_col(cfg: "IndexConfig"):
+    """Inverse of fidx_col: re-materialize the field STRING from the dense
+    ``fidx`` tinyint.  Used only where the string is semantically required
+    (the term-id hash, the vocab-grain dictionary) -- the posting-grain
+    tables themselves never store it (tokenize_tf docstring)."""
+    return F.element_at(
+        F.array(*[F.lit(f) for f in cfg.fields]),
+        F.col("fidx").cast("int") + 1,
+    )
+
+
 # ---------- kernels ----------
 #
 # Both kernels process MANY (field, term) segments per invocation: tasks are
@@ -591,19 +602,32 @@ def unified_corpus(docs: DataFrame, chunks: DataFrame, cfg: IndexConfig) -> Data
 
 
 def tokenize_tf(unified: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(field, shard, local_id, dl, term, tf) -- all JVM-side."""
+    """(fidx, shard, local_id, dl, term, tf) -- all JVM-side.
+
+    The field STRING never exists at token grain: stack emits the dense
+    tinyint field index directly, so the exploded token rows, the tf
+    hash-agg's keys and the sorted tf write all carry a 1-byte field id
+    instead of a 5-13 byte string.  The stats stage is the build's bulk
+    memory-streaming pass and the box's memory system is its scaling
+    ceiling (BENCH_SCALING.md round 4), so every byte removed from the
+    token/posting row is bandwidth returned to the bottleneck.  The
+    string re-materializes only at vocab grain (term_dict via field_col)
+    and inside the tid hash expression (field_col is a codegen
+    element_at, not a stored column)."""
     n = len(cfg.fields)
-    stack_expr = "stack({}, {}) as (field, text)".format(
-        n, ", ".join(f"'{f}', {f}" for f in cfg.fields)
+    stack_expr = "stack({}, {}) as (fidx, text)".format(
+        n, ", ".join(
+            f"cast({i} as tinyint), {f}" for i, f in enumerate(cfg.fields)
+        )
     )
     long_df = unified.select("shard", "local_id", F.expr(stack_expr))
     toks = long_df.select(
-        "shard", "local_id", "field", tokens_col("text").alias("tokens")
+        "shard", "local_id", "fidx", tokens_col("text").alias("tokens")
     ).withColumn("dl", F.size("tokens")).filter(F.col("dl") > 0)
     exploded = toks.select(
-        "field", "shard", "local_id", "dl", F.explode("tokens").alias("term")
+        "fidx", "shard", "local_id", "dl", F.explode("tokens").alias("term")
     )
-    return exploded.groupBy("field", "shard", "local_id", "dl", "term").agg(
+    return exploded.groupBy("fidx", "shard", "local_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
 
@@ -656,16 +680,32 @@ def corpus_stats(tf: DataFrame, lens: Optional[DataFrame] = None,
             )
         )).filter(F.col("dl").isNotNull())
         per_doc = stacked
-    else:
+    elif "field" in tf.columns:
         per_doc = tf.select("field", "shard", "local_id", "dl").distinct()
+    else:
+        per_doc = (
+            tf.select("fidx", "shard", "local_id", "dl").distinct()
+            .select(field_col(cfg).alias("field"), "dl")
+        )
     return per_doc.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
 
 def term_dict(tf: DataFrame, stats: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(field, term, df, idf, tbucket).  idf = ln(1 + (N-n+0.5)/(n+0.5))."""
-    df_tbl = tf.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+    """(field, term, df, idf, tbucket).  idf = ln(1 + (N-n+0.5)/(n+0.5)).
+
+    When tf carries only the int ``fidx`` (new layout), the df agg keys
+    on it and the field string materializes AFTER the agg, at vocab
+    grain -- the term strings themselves still stream through this one
+    agg (the single posting-grain string decode left in the build)."""
+    if "field" in tf.columns:
+        df_tbl = tf.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+    else:
+        df_tbl = (
+            tf.groupBy("fidx", "term").agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("field", field_col(cfg)).drop("fidx")
+        )
     j = df_tbl.join(F.broadcast(stats.select("field", "n_docs")), "field")
     return j.select(
         "field", "term", "df",
@@ -685,6 +725,8 @@ def scored_tf(tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfi
     hash join on (field, term) that AQE plans -- both sides are already
     columnar and pruned to 3 columns.
     """
+    if "field" not in tf.columns:
+        tf = tf.withColumn("field", field_col(cfg))
     avg_map = {r["field"]: r["avgdl"] for r in stats.collect()}
     avgdl = F.coalesce(
         *[
@@ -817,9 +859,17 @@ def build_postings_for(
                 # materialized tf carries (tid, fidx) ints (stats stage
                 # wrote them in the same codegen pass as the tf write):
                 # this scan reads ONLY fixed-width int columns -- parquet
-                # never decodes the posting-grain (field, term) string
-                # pages, and no per-posting hash runs here
+                # never decodes the posting-grain term string pages, and
+                # no per-posting hash runs here
                 src = tf.select("tid", "shard", "fidx", "local_id", "tf", "dl")
+            elif "fidx" in tf.columns:
+                # fresh tokenize output (streaming micro-batches): fidx
+                # is native; the field string exists only inside the tid
+                # hash expression (field_col is codegen element_at)
+                src = tf.select(
+                    F.xxhash64(field_col(cfg), F.col("term")).alias("tid"),
+                    "shard", "fidx", "local_id", "tf", "dl",
+                )
             else:
                 src = tf.select(
                     F.xxhash64("field", "term").alias("tid"),
@@ -1148,14 +1198,18 @@ def _index_stages_from_unified(
         tf = tf.withColumn(
             "grp", F.pmod(F.col("shard"), F.lit(cfg.shard_groups)).cast("int")
         )
-        # precompute the int stand-ins for (field, term) in the SAME
-        # codegen pass as the tf write: every posting-grain consumer
-        # downstream (doclens pivot, mapside postings encode) then scans
-        # fixed-width int columns only and parquet prunes the string
-        # pages -- the strings are decoded at posting grain exactly once
-        # more (term_dict's df agg), everywhere else at block/term grain
-        tf = tf.withColumn("tid", F.xxhash64("field", "term")).withColumn(
-            "fidx", fidx_col(cfg)
+        # precompute the int term id in the SAME codegen pass as the tf
+        # write: every posting-grain consumer downstream (doclens pivot,
+        # mapside postings encode) then scans fixed-width int columns
+        # only and parquet prunes the string pages -- the term string is
+        # decoded at posting grain exactly once more (term_dict's df
+        # agg), everywhere else at block/term grain.  tokenize_tf emits
+        # fidx natively (no field string at token grain); tid must hash
+        # the STRING field name to stay identical to the query side's
+        # xxhash64(field, term), so field_col re-derives it inside the
+        # hash expression only.
+        tf = tf.withColumn(
+            "tid", F.xxhash64(field_col(cfg), F.col("term"))
         )
         # tf stays co-located by shard on disk -- this is a LAYOUT
         # INVESTMENT, not just small-file control: every downstream

@@ -238,7 +238,7 @@ def main() -> None:
         return
     idx_dir = os.environ.get("QSCALE_IDX_DIR", "/tmp/qscale_idx")
     qjson = idx_dir.rstrip("/") + "_queries.json"
-    if not os.path.exists(os.path.join(idx_dir, "_manifest.json")) or \
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")) or \
             not os.path.exists(qjson) or \
             os.environ.get("QSCALE_REBUILD", "0") == "1":
         import shutil

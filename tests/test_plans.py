@@ -135,7 +135,7 @@ def test_tf_pipeline_single_doc_grain_exchange(spark, docs):
 
     from chavinha_mini_search_engine_spark.operators.index_build import (
         IndexConfig,
-        fidx_col,
+        field_col,
         tokenize_tf,
     )
 
@@ -150,9 +150,7 @@ def test_tf_pipeline_single_doc_grain_exchange(spark, docs):
     )
     tf = tokenize_tf(u.repartition(8, "shard"), cfg)
     tf = tf.withColumn("grp", F.pmod(F.col("shard"), F.lit(1)).cast("int"))
-    tf = tf.withColumn("tid", F.xxhash64("field", "term")).withColumn(
-        "fidx", fidx_col(cfg)
-    )
+    tf = tf.withColumn("tid", F.xxhash64(field_col(cfg), F.col("term")))
     out = tf.sortWithinPartitions("grp", "shard", "tid", "local_id")
     plan = formatted_plan(out)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
