@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..functions.codec import delta_encode, varbyte_encode
 from ..functions.tokenizer import tokens_col
-from ..sources.tables import IndexStore
+from ..sources.tables import DOC_STORE_WRITE_OPTS, IndexStore
 from .chunk import chunk_docs
 from .embed import embed_chunks, embed_docs
 from .extract import extract_docs
@@ -1161,11 +1161,12 @@ def _index_stages_from_unified(
         # assign_layout already hash-partitioned by shard at write geometry
         # (1 task -> 1 partition dir: small-file + fork control); a second
         # repartition here would shuffle the wide rows again
-        # ~1 MB row groups: the serve path point-fetches <=k docs by id
-        # from this table (id-sorted within shard), and row-group min/max
-        # pruning only bites if a row group is much smaller than a shard
+        # doc-store layout (1 MB row groups + dictionary off): the serve
+        # path point-fetches <=k docs by id from this table, and the
+        # write-side cost of small groups is dictionary churn, not the
+        # groups themselves -- rationale + A/B in tables.DOC_STORE_WRITE_OPTS
         store.write(u, "unified", partition_by=["shard"],
-                    options={"parquet.block.size": str(1 << 20)})
+                    options=DOC_STORE_WRITE_OPTS)
         store.finish_stage("unified", {"wall_sec": time.time() - t})
 
     unified = store.read(spark, "unified")

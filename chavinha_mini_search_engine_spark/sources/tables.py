@@ -32,6 +32,28 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Writer options for the doc-store tables (unified / unified_delta), the
+# only tables the serve path point-fetches by id:
+# - 1 MB row groups: the footer-cached fetcher (_DocFetcher) decodes only
+#   row groups whose id min/max match; with the 128 MB default one group
+#   spans a whole shard and every <=k-row fetch decompresses the full
+#   content column (measured 9.2 ms vs 29-36 ms p50 per 10-doc fetch at
+#   1 MB vs 4-16 MB groups, 15k-doc shard).
+# - dictionary encoding OFF: the wide columns (content, url, title, id)
+#   are unique strings, so the writer builds and abandons a dictionary
+#   per column chunk -- 30x more chunks at 1 MB groups.  Measured on a
+#   4 GB 256-partition write: 1 MB+dict anti-scales (11.4/6.5 s at
+#   local[4]/local[16] vs 6.5/2.1 for 128 MB) while 1 MB+nodict restores
+#   default-block walls AND scaling (6.4/2.3 s); on-disk size is
+#   byte-identical (snappy catches the low-cardinality columns' repeats
+#   at page grain).  This is what made the unified stage the build's
+#   worst scaler in the round-4 official pair (BENCH_SCALING.md).
+DOC_STORE_WRITE_OPTS = {
+    "parquet.block.size": str(1 << 20),
+    "parquet.enable.dictionary": "false",
+}
+
+
 class IndexStore:
     def __init__(self, root: str, build_id: Optional[str] = None):
         self.root = root

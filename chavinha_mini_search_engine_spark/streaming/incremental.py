@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..fixtures.pages import PAGES_DDL_COLUMNS
 from ..operators.extract import DOCS_SCHEMA, _extract_batches
-from ..sources.tables import IndexStore
+from ..sources.tables import DOC_STORE_WRITE_OPTS, IndexStore
 
 
 def stream_pages_to_docs(
@@ -204,7 +204,7 @@ def stream_index_deltas(
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
         store.write(attributes(u, cfg, tf=tf), "attributes_delta", part=part)
         store.write(u, "unified_delta", part=part,
-                    options={"parquet.block.size": str(1 << 20)})
+                    options=DOC_STORE_WRITE_OPTS)
         # fold this batch's maxima into the running offsets (the batch is
         # small, so this agg is over the micro-batch only) and persist them
         # with the segment commit
