@@ -1235,6 +1235,7 @@ def _index_stages_from_unified(
         # a sorted tf scan turns the kernel into a sequential pass.  The
         # (shard, local_id) clustering also feeds the doclens/stats
         # partial aggs the layout comment above describes.
+        sub = {}
         store.write(
             # grp leads the sort so the dynamic-partition writer's
             # required ordering (partition cols first) is satisfied by
@@ -1243,18 +1244,27 @@ def _index_stages_from_unified(
             tf.sortWithinPartitions("grp", "shard", "tid", "local_id"),
             "tf", partition_by=["grp"],
         )
+        sub["tf_write_sec"] = round(time.time() - t, 1)
         tf = store.read(spark, "tf")
         # one doc-grain pass over tf feeds BOTH corpus_stats and the
         # attributes length join (previously each re-scanned full tf)
+        t2 = time.time()
         store.write(doclens(tf, cfg), "doclens")
+        sub["doclens_sec"] = round(time.time() - t2, 1)
         lens = store.read(spark, "doclens")
+        t2 = time.time()
         store.write(corpus_stats(tf, lens=lens, cfg=cfg), "corpus_stats")
+        sub["corpus_stats_sec"] = round(time.time() - t2, 1)
+        t2 = time.time()
         td = term_dict(tf, store.read(spark, "corpus_stats"), cfg)
         store.write(td.repartition(cfg.term_buckets, "tbucket"),
                     "term_dict", partition_by=["tbucket"])
+        sub["term_dict_sec"] = round(time.time() - t2, 1)
         if _use_tid_keys():
+            t2 = time.time()
             verify_tid_unique(store.read(spark, "term_dict"))
-        store.finish_stage("stats", {"wall_sec": time.time() - t})
+            sub["tid_verify_sec"] = round(time.time() - t2, 1)
+        store.finish_stage("stats", {"wall_sec": time.time() - t, **sub})
 
     tf = store.read(spark, "tf")
     stats = store.read(spark, "corpus_stats")
