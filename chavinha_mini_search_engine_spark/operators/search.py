@@ -184,6 +184,46 @@ def post_groups(post_pdf: pd.DataFrame) -> list:
     return out
 
 
+class PostingsCache:
+    """Bounded LRU of fully-decoded posting lists for the resident serve
+    path (the Lucene/Vespa hot-postings analog).
+
+    The per-posting BM25 contribution ``idf * tf / (tf + k1*(1-b+b*dl/
+    avgdl))`` is QUERY-INDEPENDENT per (field, term, shard) -- idf, tf and
+    dl are build-time constants -- so a hit replaces the varbyte decode +
+    arithmetic with one fancy-indexed accumulate of the cached (positions,
+    contribution) pair (the query-dependent field weight applies at add
+    time).  Sound with block-max pruning: a cached term adds its EXACT
+    contribution for every posting (a superset of what pruning would have
+    decoded), which only makes accumulators exact for more docs; upper
+    bounds stay upper bounds and the top-k is unchanged (the pruned ==
+    exhaustive parity the tests assert).  Entries are only written when a
+    term decoded ALL its blocks (a partially-pruned decode is not the full
+    list).  Bounded by total cached postings (~16 B/posting)."""
+
+    def __init__(self, max_postings: int = 2_000_000):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._max = max_postings
+        self._total = 0
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+        return hit
+
+    def put(self, key, bl_ids: np.ndarray, contrib: np.ndarray) -> None:
+        if key in self._d:
+            return
+        self._d[key] = (bl_ids, contrib)
+        self._total += len(bl_ids)
+        while self._total > self._max and len(self._d) > 1:
+            _, (old_ids, _c) = self._d.popitem(last=False)
+            self._total -= len(old_ids)
+
+
 def _closeness_at(state: ShardState, q64: np.ndarray, idxs: np.ndarray):
     """Vespa closeness(angular) = 1/(1+arccos(cos)) at positions ``idxs``;
     no-embedding docs score 0.0 (see ShardState.embmat)."""
@@ -209,6 +249,8 @@ def score_shard(
     q64: Optional[np.ndarray],
     full_only: bool,
     probe_buckets: Optional[list] = None,
+    decode_cache: Optional[PostingsCache] = None,
+    cache_shard=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Scores one shard; returns (candidate positions, scores), un-deduped.
 
@@ -259,50 +301,65 @@ def score_shard(
                 continue
             w, idf = wi
             entries.append(
-                (field, w, idf, float(maxs.max()) * w,
+                (field, term, w, idf, float(maxs.max()) * w,
                  firsts, lasts, maxs, ns, docb, tfb)
             )
-        entries.sort(key=lambda e: -e[3])
-        suffix = np.cumsum([e[3] for e in entries][::-1])[::-1]
+        entries.sort(key=lambda e: -e[4])
+        suffix = np.cumsum([e[4] for e in entries][::-1])[::-1]
         theta = -math.inf
         # hybrid's skip test can only fire once theta exceeds the
         # closeness ceiling contribution (every block ub >= cl_w by
         # construction), so below that floor the bound evaluation is pure
         # overhead and is skipped
         prune_floor = cl_w if mode == "hybrid" else -math.inf
-        for i, (field, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
+        for i, (field, term, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
                 in enumerate(entries):
             rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
-            adl = avgdl[field]
-            dl = state.lens[field]
-            if theta > prune_floor:
-                idx = np.empty(2 * len(firsts), dtype=np.int64)
-                idx[0::2] = firsts
-                idx[1::2] = lasts + 1
-                if idx[-1] >= n_docs:
-                    idx = idx[:-1]  # final segment runs to the end
-                seg_max = np.maximum.reduceat(acc, idx)[0::2]
-                ub = seg_max + maxs * w + rem_after
-                if mode == "hybrid":
-                    ub = sig_w / (1.0 + np.exp(-ub / HYBRID_SIGMOID_SCALE)) + cl_w
-                sel = np.flatnonzero(ub >= theta)
-                if sel.size == 0:
-                    continue
-                if sel.size < len(ns):
-                    ns = ns[sel]
-                    docb, tfb = docb[sel], tfb[sel]
-            total = int(ns.sum())
-            gaps = varbyte_decode(b"".join(docb), total)
-            ids_all = np.cumsum(gaps, dtype=np.uint64)
-            ends = np.cumsum(ns)
-            offs = np.zeros(len(ns), dtype=np.uint64)
-            offs[1:] = ids_all[ends[:-1] - 1]
-            bl_ids = (ids_all - np.repeat(offs, ns)).astype(np.int64)
-            tfs = varbyte_decode(b"".join(tfb), total).astype(np.float64)
-            denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
-            # plain fancy += (not add.at): ids are unique within a term
-            acc[bl_ids] += w * (idf * tfs / denom)
-            touched[bl_ids] = True
+            ckey = (cache_shard, field, term) if decode_cache is not None else None
+            hit = decode_cache.get(ckey) if ckey is not None else None
+            if hit is not None:
+                bl_ids, contrib = hit
+                # exhaustive add of the exact cached contributions -- a
+                # superset of the pruned decode, identical top-k (see
+                # PostingsCache docstring)
+                acc[bl_ids] += w * contrib
+                touched[bl_ids] = True
+            else:
+                pruned = False
+                if theta > prune_floor:
+                    idx = np.empty(2 * len(firsts), dtype=np.int64)
+                    idx[0::2] = firsts
+                    idx[1::2] = lasts + 1
+                    if idx[-1] >= n_docs:
+                        idx = idx[:-1]  # final segment runs to the end
+                    seg_max = np.maximum.reduceat(acc, idx)[0::2]
+                    ub = seg_max + maxs * w + rem_after
+                    if mode == "hybrid":
+                        ub = sig_w / (1.0 + np.exp(-ub / HYBRID_SIGMOID_SCALE)) + cl_w
+                    sel = np.flatnonzero(ub >= theta)
+                    if sel.size == 0:
+                        continue
+                    if sel.size < len(ns):
+                        pruned = True
+                        ns = ns[sel]
+                        docb, tfb = docb[sel], tfb[sel]
+                adl = avgdl[field]
+                dl = state.lens[field]
+                total = int(ns.sum())
+                gaps = varbyte_decode(b"".join(docb), total)
+                ids_all = np.cumsum(gaps, dtype=np.uint64)
+                ends = np.cumsum(ns)
+                offs = np.zeros(len(ns), dtype=np.uint64)
+                offs[1:] = ids_all[ends[:-1] - 1]
+                bl_ids = (ids_all - np.repeat(offs, ns)).astype(np.int64)
+                tfs = varbyte_decode(b"".join(tfb), total).astype(np.float64)
+                denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
+                contrib = idf * tfs / denom
+                # plain fancy += (not add.at): ids are unique within a term
+                acc[bl_ids] += w * contrib
+                touched[bl_ids] = True
+                if ckey is not None and not pruned:
+                    decode_cache.put(ckey, bl_ids, contrib)
             # theta = k-th best lower bound among eligible docs
             if mode == "bm25" and touched.any():
                 cand = acc[touched & state.is_full] if full_only else acc[touched]

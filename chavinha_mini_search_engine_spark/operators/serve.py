@@ -331,6 +331,12 @@ class ResidentSearcher:
         # thread-parallel across shards.  The generic pyarrow dataset
         # scan this replaces cost ~8 ms of scan setup per shard file per
         # query -- 80 ms for a 10-hit enrichment, dwarfing scoring.
+        # hot-postings cache: decoded (positions, query-independent BM25
+        # contribution) per (shard, field, term), LRU-bounded -- see
+        # search.PostingsCache for the soundness argument
+        from .search import PostingsCache
+
+        self._postings_cache = PostingsCache()
         self._doc_fetcher = _DocFetcher(store.path("unified"))
         if store.has_parts("unified_delta"):
             for part in store.committed_parts("unified_delta"):
@@ -437,6 +443,7 @@ class ResidentSearcher:
             cand, scores = score_shard(
                 state, groups, term_payload, avgdl, self.cfg.k1, self.cfg.b,
                 k, search_type, q64, full_only, probe_buckets=probes,
+                decode_cache=self._postings_cache, cache_shard=shard,
             )
             if not len(cand):
                 continue

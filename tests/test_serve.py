@@ -182,3 +182,34 @@ def test_sharded_fanout_matches_single_process(built, resident, st, mode):
         got = norm(gateway._enrich(hits, _query_terms(q)))
         exp = norm(resident.search(q, st, 10, semantic_mode=mode))
         assert got == exp, (st, mode, q, got, exp)
+
+
+@pytest.mark.parametrize("st", ["bm25", "hybrid"])
+def test_postings_cache_hot_equals_cold(built, engine, st):
+    """A FRESH searcher's first pass (cold cache, block-max pruned decode)
+    and its second pass (hot PostingsCache, exhaustive cached adds) must
+    rank and score identically -- the cache's soundness claim -- and both
+    must match the Spark engine."""
+    rs = ResidentSearcher(built, CFG)
+    for q in PERF_QUERIES[:5]:
+        cold = norm(rs.search(q, st, 10))
+        hot = norm(rs.search(q, st, 10))
+        assert cold == hot, (st, q, cold, hot)
+        exp = norm(r.asDict() for r in engine.search(q, st, 10).collect())
+        assert [h[0] for h in hot] == [e[0] for e in exp]
+        for (_, gs), (_, es) in zip(hot, exp):
+            assert abs(gs - es) < 1e-8
+
+
+def test_postings_cache_eviction_bound():
+    import numpy as np
+
+    from chavinha_mini_search_engine_spark.operators.search import PostingsCache
+
+    c = PostingsCache(max_postings=100)
+    for i in range(20):
+        c.put(("s", "f", f"t{i}"), np.arange(10), np.ones(10))
+    assert c._total <= 100
+    # newest entries survive, oldest evicted
+    assert c.get(("s", "f", "t19")) is not None
+    assert c.get(("s", "f", "t0")) is None
