@@ -94,15 +94,24 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
                 verify_text_invariant=False, collect_metrics=False)
     wall = time.time() - t
     stage_walls = {}
+    stage_metrics = {}
     for st, v in store.manifest["stages"].items():
-        w = v.get("metrics", {}).get("wall_sec")
+        m = v.get("metrics", {})
+        w = m.get("wall_sec")
         if w is None:
             w = sum(p["metrics"].get("wall_sec", 0) for p in v.get("parts", {}).values())
         stage_walls[st] = round(w, 1)
+        # keep sub-stage timings (e.g. stats: tf_write_sec / doclens_sec /
+        # corpus_stats_sec / term_dict_sec) -- the manifest dir is deleted
+        # below, so this json is the only record a scaling run leaves
+        if len(m) > 1:
+            stage_metrics[st] = {k: round(x, 1) for k, x in m.items()
+                                 if isinstance(x, (int, float))}
     shutil.rmtree(idx, ignore_errors=True)
     with open(out_path, "w") as f:
         json.dump({"cpus": cpus, "n_pages": n_pages, "wall_sec": wall,
-                   "docs_per_sec": n_pages / wall, "stage_walls": stage_walls}, f)
+                   "docs_per_sec": n_pages / wall, "stage_walls": stage_walls,
+                   "stage_metrics": stage_metrics}, f)
     spark.stop()
 
 
