@@ -42,18 +42,32 @@ def tokenize_py(text: str) -> List[str]:
 def tokens_col(col: Column | str) -> Column:
     """JVM-side tokens as array<string> (whole-stage codegen, no Python).
 
-    ``regexp_extract_all(lower(s), '[a-z0-9]+')`` IS ``re.findall`` --
-    maximal runs of the token class, no edge empties.  It replaced the
-    earlier ``filter(split(lower(s), '[^a-z0-9]+'), x -> x != '')`` form:
-    token-stream identity was verified corpus-wide (md5 over the token
-    array, 120k docs, 0 mismatches) and the single codegen'd regex pass
-    measured ~35% faster than split + higher-order filter (the lambda
-    filter does not participate in whole-stage codegen), which matters
-    because tokenization sits inside tf_write -- 87% of the stats stage,
-    the build's largest memory-streaming pass (BENCH_SCALING.md round 4).
+    ``split`` emits empty strings at the edges when the input starts/ends
+    with a separator; ``filter`` drops them (matches ``re.findall``).
+
+    A ``regexp_extract_all(lower(s), '[a-z0-9]+')`` spelling (identical
+    semantics: corpus-wide md5 over the token arrays, 120k docs, 0
+    mismatches; selectable via SPARK_GRAFT_TOKENIZER=extract) measured
+    25-35% faster in ISOLATION (tokenize+explode+count, warm interleaved
+    runs) because the higher-order filter lambda is not codegen'd -- but
+    an interleaved full-build A/B at 480k pages (2 reps, local[4]) showed
+    NO stats-stage win (tf_write 69.3/59.4 s split vs 70.0/63.7 s
+    extract): the regex slice is small inside the memory-bound
+    agg+sort+write pass, and the stage's run-to-run variance on this
+    multi-tenant host dominates.  The audited split form stays the
+    default; the toggle keeps the experiment reproducible.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_FINDALL_RE), F.lit(0))
+    import os
+
+    if os.environ.get("SPARK_GRAFT_TOKENIZER", "split") == "extract":
+        return F.regexp_extract_all(
+            F.lower(c), F.lit(TOKEN_FINDALL_RE), F.lit(0)
+        )
+    return F.filter(
+        F.split(F.lower(c), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
 
 
 def duckdb_tokens_sql(expr: str) -> str:
