@@ -1143,6 +1143,110 @@ def build_index(
     return store
 
 
+def build_index_from_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: IndexStore,
+    cfg: Optional[IndexConfig] = None,
+    *,
+    with_chunks: bool = True,
+    with_embeddings: bool = False,
+    collect_metrics: bool = False,
+) -> IndexStore:
+    """Index an ALREADY-EXTRACTED docs table (skips the pages->html->docs
+    extraction stage of :func:`build_index`; every downstream stage --
+    chunks, unified, stats, postings, attributes -- is the same code path,
+    so the resulting store serves through SearchEngine/ResidentSearcher
+    unchanged).
+
+    ``docs`` needs ``id`` (string, unique) and ``content``; the remaining
+    projection columns (url/domain/title/description/keywords/
+    code_snippets/crawled_at/doc_type) are filled with deterministic
+    defaults when absent.  This is the entry point for corpora that are
+    born as text rather than HTML (the reference only ever ingests crawl
+    JSON, indexer/indexer.py:404-430; text-born tables are the common case
+    for a training-data pipeline, and the driver's bm25_topk_indexed gate
+    builds through here to check the postings/WAND engine against the
+    DuckDB oracle on the plain-text documents table).
+    """
+    cfg = cfg or IndexConfig()
+    from dataclasses import asdict
+    cfg_dict = asdict(cfg)
+    cfg_dict["fields"] = list(cfg_dict["fields"])
+    store.manifest["index_config"] = cfg_dict
+    store._write_manifest()
+    t_all = time.time()
+
+    defaults = {
+        "url": F.lit(""),
+        "domain": F.lit(""),
+        "title": F.lit(""),
+        "description": F.lit(""),
+        "keywords": F.lit(""),
+        "code_snippets": F.lit(None).cast("array<string>"),
+        "crawled_at": F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        "doc_type": F.lit("full_doc"),
+    }
+    for c, e in defaults.items():
+        if c not in docs.columns:
+            docs = docs.withColumn(c, e)
+
+    if not store.stage_done("docs"):
+        store.begin_stage("docs")
+        _tag_jobs(spark, "docs")
+        t = time.time()
+        d = docs
+        if with_embeddings:
+            d = embed_docs(d)
+        elif "content_embedding" not in d.columns:
+            d = d.withColumn(
+                "content_embedding", F.lit(None).cast("array<float>")
+            )
+        store.write(d, "docs")
+        m = {"wall_sec": time.time() - t}
+        if collect_metrics:
+            n = store.read(spark, "docs").count()
+            m.update(rows=n, docs_per_sec=n / max(m["wall_sec"], 1e-9))
+        store.finish_stage("docs", m)
+
+    docs = store.read(spark, "docs")
+
+    if not store.stage_done("chunks"):
+        store.begin_stage("chunks")
+        _tag_jobs(spark, "chunks")
+        t = time.time()
+        if with_chunks:
+            ch = chunk_docs(docs)
+            if with_embeddings:
+                ch = embed_chunks(ch)
+            else:
+                ch = ch.withColumn(
+                    "chunk_embedding", F.lit(None).cast("array<float>")
+                )
+        else:
+            from .chunk import CHUNKS_SCHEMA
+            ch = spark.createDataFrame(
+                [], CHUNKS_SCHEMA + ", chunk_embedding array<float>"
+            )
+        store.write(ch, "chunks")
+        m = {"wall_sec": time.time() - t}
+        if collect_metrics:
+            m["rows"] = store.read(spark, "chunks").count()
+        store.finish_stage("chunks", m)
+
+    chunks = store.read(spark, "chunks")
+
+    _index_stages_from_unified(
+        spark, store, cfg,
+        make_unified=lambda: unified_corpus(docs, chunks, cfg),
+        collect_metrics=collect_metrics,
+    )
+
+    store.manifest["total_wall_sec"] = time.time() - t_all
+    store._write_manifest()
+    return store
+
+
 def _index_stages_from_unified(
     spark: SparkSession,
     store: IndexStore,
