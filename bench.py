@@ -306,45 +306,45 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
-    # --- scan-based BM25 (no index) ---
-    t = time.time()
-    entry._q_bm25_topk(spark, sf_dir).collect()
-    timings["bm25_scan_topk"] = round(time.time() - t, 3)
+    # --- scan-based BM25 + training-data pipeline ops ---
+    # Protocol (VERDICT r4 "what's wrong" #2): ONE untimed warmup rep per
+    # op, then the min of `reps` timed reps.  Round 3->4 the single-shot
+    # numbers drifted +30-180% purely from each op's POSITION in the run
+    # (whichever op ran first paid JIT/codegen/broadcast warmup for its
+    # whole plan family); warm-min makes the rows comparable across
+    # rounds without same-night adjudication.
+    def timed_op(key, fn, reps=2):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[key] = round(best, 3)
 
-    # --- training-data pipeline ops ---
-    t = time.time()
-    dedup.exact_dedup(docs).count()
-    timings["dedup_exact"] = round(time.time() - t, 3)
-
-    t = time.time()
-    dedup.minhash_lsh_dedup(docs.filter(F.col("lang") == "en"), threshold=0.12).count()
-    timings["dedup_minhash_lsh"] = round(time.time() - t, 3)
-
-    t = time.time()
-    dedup.simhash_neardup_pairs(docs, max_hamming=3).count()
-    timings["dedup_simhash"] = round(time.time() - t, 3)
-
-    t = time.time()
-    similarity.cosine_neardup_pairs_banded(emb, threshold=0.5).count()
-    timings["embedding_neardup_banded"] = round(time.time() - t, 3)
-
+    docs_en = docs.filter(F.col("lang") == "en")
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    t = time.time()
-    similarity.cosine_topk(emb, qvec, 10).collect()
-    timings["ann_brute_topk"] = round(time.time() - t, 3)
-    t = time.time()
-    similarity.lsh_bucketed_topk(emb, qvec, 10).collect()
-    timings["ann_lsh_topk"] = round(time.time() - t, 3)
     from chavinha_mini_search_engine_spark.operators import graph_ann
-    t = time.time()
-    graph_ann.graph_topk(emb, qvec, 10).collect()
-    timings["ann_graph_topk"] = round(time.time() - t, 3)
 
-    t = time.time()
-    textstats.quality_features(docs).count()
-    textstats.language_id(docs).count()
-    textstats.token_counts(docs).count()
-    timings["textstats_all"] = round(time.time() - t, 3)
+    timed_op("bm25_scan_topk", lambda: entry._q_bm25_topk(spark, sf_dir).collect())
+    timed_op("dedup_exact", lambda: dedup.exact_dedup(docs).count())
+    timed_op("dedup_minhash_lsh",
+             lambda: dedup.minhash_lsh_dedup(docs_en, threshold=0.12).count())
+    timed_op("dedup_simhash",
+             lambda: dedup.simhash_neardup_pairs(docs, max_hamming=3).count())
+    timed_op("embedding_neardup_banded",
+             lambda: similarity.cosine_neardup_pairs_banded(emb, threshold=0.5).count())
+    timed_op("ann_brute_topk", lambda: similarity.cosine_topk(emb, qvec, 10).collect())
+    timed_op("ann_lsh_topk",
+             lambda: similarity.lsh_bucketed_topk(emb, qvec, 10).collect())
+    timed_op("ann_graph_topk", lambda: graph_ann.graph_topk(emb, qvec, 10).collect())
+
+    def _textstats():
+        textstats.quality_features(docs).count()
+        textstats.language_id(docs).count()
+        textstats.token_counts(docs).count()
+
+    timed_op("textstats_all", _textstats)
 
     spark.stop()
     return {"n_docs": n_docs, "timings": timings}
@@ -394,27 +394,69 @@ def host_calibration(secs: float = 6.0) -> dict:
     }
 
 
+# timings that ride in the COMPACT headline line (curated so the line stays
+# well under the driver's 2000-byte stdout tail window; the full dict goes
+# to the sidecar + the first stdout line)
+_COMPACT_KEYS = (
+    "index_build", "index_build_docs_per_sec",
+    "bm25_p50", "bm25_p95",
+    "bm25_resident_p95_ms",
+    "bm25_resident_matched_n", "bm25_resident_matched_p50_ms",
+    "bm25_resident_matched_p95_ms",
+    "bm25_resident_selective_p50_ms", "bm25_resident_degenerate_p50_ms",
+    "hybrid_resident_selective_p50_ms", "hybrid_resident_degenerate_p50_ms",
+    "semantic_resident_selective_p50_ms",
+    "bm25_scan_topk", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "embedding_neardup_banded", "ann_brute_topk", "ann_lsh_topk",
+    "ann_graph_topk", "textstats_all",
+    "host_cal_1w_Mvps", "host_cal_16w_per_worker_Mvps",
+)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     cal = host_calibration()
     res = run_bench(sf_dir, cpus)
     res["timings"].update(cal)
-    out = {
-        # headline: warm BM25 p95 on the RESIDENT serve path (operators/
-        # serve.py) -- the apples-to-apples number against the reference's
-        # resident Vespa server (~10 ms typical, BASELINE.md).  The Spark
-        # scatter/gather path's latencies (bm25_p50/p95, dominated by
-        # local-mode job scheduling, not engine work) stay in `queries`.
+    # headline: warm BM25 p95 on the RESIDENT serve path (operators/
+    # serve.py) -- the apples-to-apples number against the reference's
+    # resident Vespa server (~10 ms typical, BASELINE.md).  The Spark
+    # scatter/gather path's latencies (bm25_p50/p95, dominated by
+    # local-mode job scheduling, not engine work) stay in `queries`.
+    headline = {
         "metric": "bm25_query_p95_warm_resident",
         "value": round(res["timings"]["bm25_resident_p95_ms"] / 1e3, 4),
         "unit": "sec",
+    }
+    full = {
+        **headline,
         "queries": res["timings"],
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": res["n_docs"],
     }
-    print(json.dumps(out))
+    # sidecar keeps every timing machine-readable even when stdout is
+    # tail-truncated (VERDICT r4 "what's wrong" #1: the full line overflowed
+    # the driver's 2000-byte tail and r04's parsed record was null)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full))
+    # compact line LAST: the driver captures the final bytes of stdout, so
+    # the short line must be the one that ends the stream
+    compact = {
+        **headline,
+        "queries": {
+            k: res["timings"][k] for k in _COMPACT_KEYS if k in res["timings"]
+        },
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": res["n_docs"],
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
