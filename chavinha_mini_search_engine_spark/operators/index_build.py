@@ -706,6 +706,14 @@ def term_dict(tf: DataFrame, stats: DataFrame, cfg: IndexConfig) -> DataFrame:
             tf.groupBy("fidx", "term").agg(F.count(F.lit(1)).alias("df"))
             .withColumn("field", field_col(cfg)).drop("fidx")
         )
+    return term_dict_from_df(df_tbl, stats, cfg)
+
+
+def term_dict_from_df(df_tbl: DataFrame, stats: DataFrame,
+                      cfg: IndexConfig) -> DataFrame:
+    """Attach idf + tbucket to a vocab-grain (field, term, df) table --
+    the shared tail of term_dict, also fed directly by the stats stage's
+    pre-write vocab pass when the tf parquet drops the term string."""
     j = df_tbl.join(F.broadcast(stats.select("field", "n_docs")), "field")
     return j.select(
         "field", "term", "df",
@@ -725,8 +733,18 @@ def scored_tf(tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfi
     hash join on (field, term) that AQE plans -- both sides are already
     columnar and pruned to 3 columns.
     """
-    if "field" not in tf.columns:
-        tf = tf.withColumn("field", field_col(cfg))
+    if "term" not in tf.columns:
+        # narrow materialized tf (term string dropped at write,
+        # SPARK_GRAFT_TF_TERM=drop): re-attach (field, term, idf) in one
+        # posting-grain join keyed by the int tid instead of the string pair
+        names = tdict.select(
+            F.xxhash64("field", "term").alias("tid"), "field", "term", "idf"
+        )
+        j = tf.join(names, "tid")
+    else:
+        if "field" not in tf.columns:
+            tf = tf.withColumn("field", field_col(cfg))
+        j = tf.join(tdict.select("field", "term", "idf"), ["field", "term"])
     avg_map = {r["field"]: r["avgdl"] for r in stats.collect()}
     avgdl = F.coalesce(
         *[
@@ -735,8 +753,6 @@ def scored_tf(tf: DataFrame, tdict: DataFrame, stats: DataFrame, cfg: IndexConfi
         ],
         F.lit(1.0),
     ) if avg_map else F.lit(1.0)
-    dict_small = tdict.select("field", "term", "idf")
-    j = tf.join(dict_small, ["field", "term"])
     denom = F.col("tf") + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / avgdl)
     return j.withColumn("score", F.col("idf") * F.col("tf") / denom)
 
@@ -757,6 +773,23 @@ def _use_pyarrow_scan() -> bool:
     import os
 
     return os.environ.get("SPARK_GRAFT_POSTINGS_SCAN", "pyarrow") != "jvm"
+
+
+def _drop_tf_term() -> bool:
+    """``SPARK_GRAFT_TF_TERM=drop`` materializes tf WITHOUT the
+    posting-grain term string; a vocab-grain (field, term, df) pass runs
+    BEFORE the write instead, so posting grain stores no string anywhere.
+
+    Default stays ``keep``: the same-night A/B at 480k pages / local[16]
+    (BENCH_SCALING.md round 5) showed the vocab pass re-pays the full
+    tokenize cost (~31 s, comparable to the entire keep-mode tf_write of
+    23.6 s) while dropping the string saves nothing measurable -- on the
+    sorted (shard, tid, local_id) layout the term column dictionary-
+    encodes to near-zero write cost.  Kept as a measured negative-A/B
+    lever, like SPARK_GRAFT_POSTINGS=salted."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TF_TERM", "keep") != "keep"
 
 
 def build_postings_for(
@@ -1340,12 +1373,41 @@ def _index_stages_from_unified(
         # (shard, local_id) clustering also feeds the doclens/stats
         # partial aggs the layout comment above describes.
         sub = {}
+        drop_term = _drop_tf_term()
+        if drop_term:
+            # vocab-grain dictionary pass BEFORE the write (verdict r4
+            # task 3): the posting-grain tf parquet then stores NO string
+            # anywhere -- the term column otherwise rides the Tungsten
+            # radix sort as row payload and pays a per-row dictionary
+            # encode in the parquet writer solely so term_dict can
+            # aggregate it later.  This pass re-runs tokenize+tf-agg
+            # (the doc-grain exchange itself is stage-skipped -- same
+            # shuffle lineage), but its df agg collapses to vocab grain
+            # map-side, so nothing posting-grain moves or lands.
+            # MEASURED NET LOSS at 480k/local[16] (BENCH_SCALING.md
+            # round 5): the re-tokenize costs ~the whole keep-mode
+            # tf_write; default stays keep (_drop_tf_term docstring).
+            t2 = time.time()
+            term_df = (
+                tf.groupBy("fidx", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .select(
+                    field_col(cfg).alias("field"), "term", "df",
+                )
+            )
+            store.write(term_df, "term_df")
+            sub["term_df_sec"] = round(time.time() - t2, 1)
+            tf_w = tf.select(
+                "grp", "tid", "shard", "fidx", "local_id", "dl", "tf"
+            )
+        else:
+            tf_w = tf
         store.write(
             # grp leads the sort so the dynamic-partition writer's
             # required ordering (partition cols first) is satisfied by
             # prefix -- otherwise FileFormatWriter inserts its own
             # non-stable sort by grp and destroys the inner order
-            tf.sortWithinPartitions("grp", "shard", "tid", "local_id"),
+            tf_w.sortWithinPartitions("grp", "shard", "tid", "local_id"),
             "tf", partition_by=["grp"],
         )
         sub["tf_write_sec"] = round(time.time() - t, 1)
@@ -1360,7 +1422,15 @@ def _index_stages_from_unified(
         store.write(corpus_stats(tf, lens=lens, cfg=cfg), "corpus_stats")
         sub["corpus_stats_sec"] = round(time.time() - t2, 1)
         t2 = time.time()
-        td = term_dict(tf, store.read(spark, "corpus_stats"), cfg)
+        if drop_term:
+            # idf attaches to the pre-computed vocab-grain df table; no
+            # posting-grain scan happens here at all
+            td = term_dict_from_df(
+                store.read(spark, "term_df"),
+                store.read(spark, "corpus_stats"), cfg,
+            )
+        else:
+            td = term_dict(tf, store.read(spark, "corpus_stats"), cfg)
         store.write(td.repartition(cfg.term_buckets, "tbucket"),
                     "term_dict", partition_by=["tbucket"])
         sub["term_dict_sec"] = round(time.time() - t2, 1)
