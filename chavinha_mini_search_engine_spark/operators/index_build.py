@@ -1568,124 +1568,6 @@ def compact(
     return out
 
 
-def _make_retile_blocks(block_size: int, k1: float, b: float,
-                        avgdl_by_field: dict, fields: tuple):
-    """Cogrouped (postings blocks x attribute lengths) -> re-tiled blocks
-    with max_tfnorm recomputed under NEW corpus stats -- the tiered-
-    compaction kernel (compact_tiered).
-
-    One invocation handles ONE shard's full posting set across all
-    segments (base + deltas).  That grain is deliberate: it is exactly
-    what a resident content node already holds (serve's per-query
-    cogroup is shard-keyed too), so at cluster scale compaction is an
-    embarrassingly parallel per-shard job with no cross-shard traffic.
-    Fully vectorized across the whole shard, same shapes as
-    _make_merge_runs_tfnorm: one concatenated varbyte decode (blocks are
-    self-delimiting; each block's first gap is the absolute id, so a
-    per-block cumsum re-base recovers absolutes), one dl gather from the
-    dense per-field length arrays, one lexsort-free re-tile (segments'
-    id ranges are disjoint and blocks arrive sorted by first_local, so
-    concatenation IS posting order), and one segmented re-encode."""
-    from ..functions.codec import varbyte_decode, varbyte_encode_segmented
-
-    len_cols = [f"len_{f}" for f in fields]
-    adl_vec = np.asarray(
-        [avgdl_by_field.get(f, 1.0) or 1.0 for f in fields], dtype=np.float64
-    )
-
-    empty = pd.DataFrame({
-        "field": pd.Series(dtype=object), "term": pd.Series(dtype=object),
-        "shard": pd.Series(dtype=np.int32),
-        "block_idx": pd.Series(dtype=np.int64),
-        "first_local": pd.Series(dtype=np.int64),
-        "last_local": pd.Series(dtype=np.int64),
-        "n": pd.Series(dtype=np.int64),
-        "max_tfnorm": pd.Series(dtype=np.float64),
-        "doc_bytes": pd.Series(dtype=object),
-        "tf_bytes": pd.Series(dtype=object),
-    })
-
-    def kernel(post_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
-        if post_pdf.empty or attr_pdf.empty:
-            return empty
-        shard = int(post_pdf["shard"].iloc[0])
-        lid = attr_pdf["local_id"].to_numpy(np.int64)
-        nd = int(lid.max()) + 1
-        lens = np.zeros((len(fields), nd), dtype=np.float64)
-        for i, c in enumerate(len_cols):
-            lens[i, lid] = attr_pdf[c].to_numpy(np.float64)
-
-        f_codes, f_uniq = pd.factorize(post_pdf["field"], sort=False)
-        t_codes, t_uniq = pd.factorize(post_pdf["term"], sort=False)
-        key = f_codes.astype(np.int64) * len(t_uniq) + t_codes
-        order = np.lexsort((post_pdf["first_local"].to_numpy(np.int64), key))
-        key = key[order]
-        n = post_pdf["n"].to_numpy(np.int64)[order]
-        docb = post_pdf["doc_bytes"].to_numpy()[order]
-        tfb = post_pdf["tf_bytes"].to_numpy()[order]
-        total = int(n.sum())
-
-        gaps = varbyte_decode(b"".join(docb), total)
-        ends = np.cumsum(n)
-        ids_all = np.cumsum(gaps, dtype=np.uint64)
-        offs = np.zeros(len(n), dtype=np.uint64)
-        offs[1:] = ids_all[ends[:-1] - 1]
-        ids = (ids_all - np.repeat(offs, n)).astype(np.int64)
-        tfs = varbyte_decode(b"".join(tfb), total)
-
-        key_p = np.repeat(key, n)
-        fidx_p = np.repeat(f_codes[order].astype(np.int64), n)
-        # map the factorize codes onto cfg.fields positions for dl lookup
-        f_pos = np.asarray([fields.index(f) for f in f_uniq], dtype=np.int64)
-        fpos_p = f_pos[fidx_p]
-        dls = lens[fpos_p, ids]
-        adl = adl_vec[fpos_p]
-        tfs_f = tfs.astype(np.float64)
-        denom = tfs_f + k1 * (1.0 - b + b * dls / adl)
-        tfnorm = tfs_f / denom
-
-        chg = np.flatnonzero(np.diff(key_p)) + 1
-        seg_starts = np.concatenate(([0], chg))
-        seg_ends = np.concatenate((chg, [total]))
-        seg_n = seg_ends - seg_starts
-        nblocks = -(-seg_n // block_size)
-        bseg = np.repeat(np.arange(len(seg_n)), nblocks)
-        bidx = np.arange(len(bseg)) - np.repeat(
-            np.cumsum(nblocks) - nblocks, nblocks
-        )
-        bstarts = seg_starts[bseg] + bidx * block_size
-        bends = np.minimum(bstarts + block_size, seg_ends[bseg])
-        gaps_b = ids.copy()
-        gaps_b[1:] = ids[1:] - ids[:-1]
-        gaps_b[bstarts] = ids[bstarts]
-        doc_buf, doc_off = varbyte_encode_segmented(gaps_b, bstarts)
-        tf_buf, tf_off = varbyte_encode_segmented(tfs, bstarts)
-        doc_mv = memoryview(doc_buf.tobytes())
-        tf_mv = memoryview(tf_buf.tobytes())
-        nb = len(bstarts)
-        bkey = key_p[bstarts]
-        f_arr = f_uniq.to_numpy() if hasattr(f_uniq, "to_numpy") else np.asarray(f_uniq)
-        t_arr = t_uniq.to_numpy() if hasattr(t_uniq, "to_numpy") else np.asarray(t_uniq)
-        return pd.DataFrame({
-            "field": f_arr[(bkey // len(t_uniq)).astype(np.int64)],
-            "term": t_arr[(bkey % len(t_uniq)).astype(np.int64)],
-            "shard": np.full(nb, shard, dtype=np.int32),
-            "block_idx": bidx.astype(np.int64),
-            "first_local": ids[bstarts].astype(np.int64),
-            "last_local": ids[bends - 1].astype(np.int64),
-            "n": (bends - bstarts).astype(np.int64),
-            "max_tfnorm": np.maximum.reduceat(tfnorm, bstarts),
-            "doc_bytes": [
-                bytes(doc_mv[doc_off[i]:doc_off[i + 1]]) for i in range(nb)
-            ],
-            "tf_bytes": [
-                bytes(tf_mv[tf_off[i]:tf_off[i + 1]]) for i in range(nb)
-            ],
-        })
-
-    return kernel
-
-
 def compact_tiered(
     spark: SparkSession,
     base: IndexStore,
@@ -1708,11 +1590,11 @@ def compact_tiered(
       dictionary at stream time, so brand-new terms were dropped there by
       design and must enter here); idf re-derives from the updated
       (df, n_docs) with the same expression;
-    - posting blocks by per-shard re-tile (_make_retile_blocks): decode
-      the BASE blocks (no tokenize), union freshly-encoded delta runs,
-      recompute every tfnorm under the NEW avgdl from the stored raw tf +
-      attribute dl, re-tile to block_size -- the only posting-grain bytes
-      that move are compressed blocks through the shard cogroup;
+    - base posting blocks pass through payload-unchanged with only their
+      block-grain max_score rebounded under the new stats (sound
+      inflation, see the postings stage comment); fresh delta postings
+      encode from the delta re-tokenize.  No posting-grain byte of the
+      base tier is decoded or moved beyond the block-table rewrite;
     - attributes / unified by segment concatenation (delta local_ids were
       offset past every earlier segment at stream time, so the per-shard
       id space is already dense and disjoint).
@@ -1817,19 +1699,42 @@ def compact_tiered(
     stats = out.read(spark, "corpus_stats")
     td = out.read(spark, "term_dict")
 
-    # postings: per-shard re-tile under the new stats
-    if not out.stage_done("postings", "grp=0"):
+    # postings: base blocks pass through PAYLOAD-UNCHANGED; only the
+    # block-grain max_score rebounds under the new stats.  stored bound =
+    # idf_old * max_tfnorm (+eps); tfnorm is monotone-increasing in avgdl
+    # (a larger avgdl shrinks every denominator), so
+    # max_tfnorm_new <= max_tfnorm_old * max(1, avgdl_new/avgdl_old):
+    # for avgdl_new >= old, tf + C*r >= r*(tf + C) for r =
+    # old/new <= 1 gives tfnorm_new <= tfnorm_old/r; for avgdl_new < old
+    # the old bound is already an upper bound.  new max_score =
+    # old/idf_old * idf_new * inflation * (1+1e-12) (the extra eps covers
+    # the division's rounding).  Pruning stays lossless -- serve recomputes
+    # exact scores from the raw (tf, dl) either way -- bounds merely get
+    # (1 + avgdl-drift) looser per tiered compaction; a periodic full
+    # ``compact`` re-tightens them.  Zero posting-grain work for the base
+    # tier: the A/B that motivated this (scripts/compaction_bench.py,
+    # 120k pages) measured a decode-and-retile kernel at 2.2x the cost of
+    # the from-scratch mapside encode, i.e. physical re-blocking pays
+    # MORE than it saves; segment-consolidation semantics (Lucene tiered
+    # merge policy) are the scalable shape.
+    if not out.stage_done("postings"):
         out.begin_stage("postings")
         t = time.time()
-        avg_map = {r["field"]: float(r["avgdl"]) for r in stats.collect()}
-        keep_cols = ["field", "term", "shard", "first_local", "n",
-                     "doc_bytes", "tf_bytes"]
-        # BASE segments re-tile from their stored blocks (no tokenize);
-        # delta postings REGENERATE from the delta re-tokenize -- the
-        # stored delta parts dropped base-dictionary-unknown terms and
-        # carry stale-stats bounds, so they are superseded, not merged.
-        # Only what the kernel touches is read: the stale max_score and
-        # block bookkeeping columns stay unread (parquet prunes them).
+        old_avg = {
+            r["field"]: float(r["avgdl"])
+            for r in base.read(spark, "corpus_stats").collect()
+        }
+        new_avg = {r["field"]: float(r["avgdl"]) for r in stats.collect()}
+        inflate = F.coalesce(
+            *[
+                F.when(
+                    F.col("field") == f,
+                    F.lit(max(1.0, new_avg.get(f, 1.0) / old_avg.get(f, 1.0))),
+                )
+                for f in cfg.fields
+            ],
+            F.lit(1.0),
+        )
         base_parts = [
             p for p in base.committed_parts("postings")
             if not p.startswith("delta=")
@@ -1839,44 +1744,35 @@ def compact_tiered(
             post = post.unionByName(
                 spark.read.parquet(base.path("postings", p))
             )
-        post = post.select(*keep_cols)
+        old_idf = base.read(spark, "term_dict").select(
+            "field", "term", F.col("idf").alias("idf_old")
+        )
+        reb = (
+            post.join(old_idf, ["field", "term"])
+            .join(td.select("field", "term", "idf"), ["field", "term"])
+            .withColumn(
+                "max_score",
+                F.col("max_score") / F.col("idf_old") * F.col("idf")
+                * inflate * F.lit(1.0 + 1e-12),
+            )
+            .drop("idf_old", "idf")
+        )
+        out.write(reb.repartition(cfg.term_buckets, "tbucket"),
+                  "postings", part="grp=0", partition_by=["tbucket"])
+        out.finish_part("postings", "grp=0", {"wall_sec": time.time() - t})
+        # delta postings REGENERATE from the delta re-tokenize (the stored
+        # delta parts dropped base-dictionary-unknown terms at stream time
+        # and carry stale-stats bounds): superseded, not merged
         if base.has_parts("unified_delta"):
+            t2 = time.time()
             delta_tf = tokenize_tf(
                 base.read_parts(spark, "unified_delta"), cfg
             )
             fresh = build_postings_for(delta_tf, td, stats, cfg)
-            post = post.unionByName(fresh.select(*keep_cols))
-        lens = attrs.select(
-            "shard", "local_id", *[f"len_{f}" for f in cfg.fields]
-        )
-        kernel = _make_retile_blocks(
-            cfg.block_size, cfg.k1, cfg.b, avg_map, tuple(cfg.fields)
-        )
-        retiled = (
-            post.groupBy("shard")
-            .cogroup(lens.groupBy("shard"))
-            .applyInPandas(
-                kernel,
-                schema=(
-                    "field string, term string, shard int, block_idx int, "
-                    "first_local long, last_local long, n int, "
-                    "max_tfnorm double, doc_bytes binary, tf_bytes binary"
-                ),
-            )
-        )
-        blocks = retiled.join(
-            td.select("field", "term", "idf"), ["field", "term"]
-        ).select(
-            "field", "term", "shard", "block_idx", "first_local",
-            "last_local", "n",
-            (F.col("idf") * F.col("max_tfnorm") * F.lit(1.0 + 1e-12))
-            .alias("max_score"),
-            "doc_bytes", "tf_bytes",
-            tbucket_col(F.col("term"), cfg.term_buckets).alias("tbucket"),
-        )
-        out.write(blocks.repartition(cfg.term_buckets, "tbucket"),
-                  "postings", part="grp=0", partition_by=["tbucket"])
-        out.finish_part("postings", "grp=0", {"wall_sec": time.time() - t})
+            out.write(fresh, "postings", part="grp=1",
+                      partition_by=["tbucket"])
+            out.finish_part("postings", "grp=1",
+                            {"wall_sec": time.time() - t2})
         out.finish_stage("postings", {"wall_sec": time.time() - t})
 
     # graph (optional): per-shard HNSW over the merged attributes

@@ -487,6 +487,32 @@ class ResidentSearcher:
             for i in keep
         ]
 
+    def search_candidates_filled(
+        self, query: str, search_type: str = "bm25",
+        k: int = DEFAULT_LIMIT, semantic_mode: str = "exact",
+    ) -> Tuple[Optional[Tuple[np.ndarray, ...]], Dict[str, tuple]]:
+        """Scatter half + SPECULATIVE summary fill in one round trip: the
+        candidate pool plus doc rows for this node's local top-k.
+
+        Eliminates the gateway's second fill round trip (measured as the
+        dominant scatter fixed cost, ~6.5-10.6 ms/query at P=4 --
+        scripts/scatter_probe.py): every node fills its own likely
+        winners concurrently while the gateway is still collecting pools.
+        Sound because a global winner is always inside its node's local
+        top-k-by-dedup-key: if >= k dedup keys beat a doc on its own node,
+        those same keys' global best scores are >= their local ones, so
+        they beat it globally too and the doc cannot enter the merged
+        top-k.  (Keys CAN span nodes -- chunks shard by chunk id -- but
+        cross-node collapse only raises a key's best score, never lowers
+        it.)  The gateway still backstops any miss with its own fetch
+        (run_scatter in scripts/query_scaling_bench.py)."""
+        pool = self.search_candidates(query, search_type, k, semantic_mode)
+        if pool is None:
+            return None, {}
+        hits = ResidentSearcher.merge_candidates([pool], k)
+        rows = self.fill_docrows([str(h[0]) for h in hits])
+        return pool, rows
+
     def search(self, query: str, search_type: str = "bm25",
                k: int = DEFAULT_LIMIT, semantic_mode: str = "exact") -> List[dict]:
         pool = self.search_candidates(query, search_type, k, semantic_mode)

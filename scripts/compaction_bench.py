@@ -88,19 +88,32 @@ def main() -> None:
         rec["delta_stream_sec"] = round(time.time() - t, 1)
         rec["n_delta_pages"] = n_delta
 
+        def stage_walls(st):
+            out = {}
+            for name, v in st.manifest["stages"].items():
+                m = v.get("metrics", {})
+                w = m.get("wall_sec")
+                if w is None:
+                    w = sum(p["metrics"].get("wall_sec", 0)
+                            for p in v.get("parts", {}).values())
+                out[name] = round(w, 1)
+            return out
+
         t = time.time()
-        compact_tiered(
+        tiered = compact_tiered(
             spark, store, IndexStore(os.path.join(work, "tiered"), build_id="ct"),
             cfg,
         )
         rec["tiered_sec"] = round(time.time() - t, 1)
+        rec["tiered_stages"] = stage_walls(tiered)
 
         t = time.time()
-        compact(
+        full = compact(
             spark, store, IndexStore(os.path.join(work, "full"), build_id="cf"),
             cfg, collect_metrics=False,
         )
         rec["full_sec"] = round(time.time() - t, 1)
+        rec["full_stages"] = stage_walls(full)
         rec["speedup"] = round(rec["full_sec"] / max(rec["tiered_sec"], 1e-9), 2)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -47,6 +47,11 @@ def _worker(idx_dir: str, shards, conn) -> None:
             t0 = time.time()
             pool = rs.search_candidates(query, st, k)
             conn.send((pool, time.time() - t0))
+        elif msg[0] == "q1":
+            _, query, st, k = msg
+            t0 = time.time()
+            pool, rows = rs.search_candidates_filled(query, st, k)
+            conn.send((pool, rows, time.time() - t0))
         elif msg[0] == "fill":
             t0 = time.time()
             rows = rs.fill_docrows(msg[1])
@@ -131,6 +136,35 @@ def main() -> None:
             ph: round(statistics.median(v) * 1e3, 3) for ph, v in phases.items()
         }
         rec[cls]["n"] = len(qs)
+
+        # one-round speculative fill over the SAME queries: total latency
+        # + parity with the two-phase result
+        one_lat, one_missing = [], 0
+        for i, q in enumerate(qs):
+            for rep in range(2 if i == 0 else 1):
+                t_all = time.time()
+                for _, conn in procs:
+                    conn.send(("q1", q, "bm25", k))
+                replies = [conn.recv() for _, conn in procs]
+                hits = ResidentSearcher.merge_candidates(
+                    [r[0] for r in replies], k
+                )
+                docrows = {}
+                for r in replies:
+                    docrows.update(r[1])
+                missing = [str(h[0]) for h in hits
+                           if str(h[0]) not in docrows]
+                one_missing += len(missing)
+                if missing:
+                    docrows.update(gateway.fill_docrows(missing))
+                res = gateway._enrich(hits, _query_terms(q), docrows=docrows)
+                el = time.time() - t_all
+            one_lat.append(el)
+            assert all(h["url"] for h in res), f"unfilled summary for {q!r}"
+        rec[cls]["one_round_total"] = round(
+            statistics.median(one_lat) * 1e3, 3
+        )
+        rec[cls]["one_round_missing_fills"] = one_missing
     for p, conn in procs:
         conn.send(("stop",))
         p.join()
