@@ -19,6 +19,7 @@ oracle that shares this tokenizer, per SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import os
 import re
 from typing import List
 
@@ -30,6 +31,14 @@ from pyspark.sql import functions as F
 TOKEN_FINDALL_RE = "[a-z0-9]+"
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 _PY_TOKEN_RE = re.compile(TOKEN_FINDALL_RE)
+
+
+def _spark_tokenizer_mode() -> str:
+    """'split' (default, audited) or 'extract' -- the A/B toggle for the
+    two equivalent JVM spellings (tokens_col docstring).  Read per call so
+    tests can monkeypatch the env; kept next to the regexes so an
+    index/query tokenizer-consistency audit sees the toggle immediately."""
+    return os.environ.get("SPARK_GRAFT_TOKENIZER", "split")
 
 
 def tokenize_py(text: str) -> List[str]:
@@ -58,9 +67,7 @@ def tokens_col(col: Column | str) -> Column:
     default; the toggle keeps the experiment reproducible.
     """
     c = F.col(col) if isinstance(col, str) else col
-    import os
-
-    if os.environ.get("SPARK_GRAFT_TOKENIZER", "split") == "extract":
+    if _spark_tokenizer_mode() == "extract":
         return F.regexp_extract_all(
             F.lower(c), F.lit(TOKEN_FINDALL_RE), F.lit(0)
         )

@@ -107,6 +107,20 @@ def child(cpus: int, replicate: int, sf_dir: str, out_path: str) -> None:
         if len(m) > 1:
             stage_metrics[st] = {k: round(x, 1) for k, x in m.items()
                                  if isinstance(x, (int, float))}
+        # part-checkpointed stages (postings) record their sub-metrics per
+        # part, not at stage level -- aggregate numeric keys across parts
+        # so those survive the manifest deletion too
+        parts = v.get("parts", {})
+        if parts:
+            agg: dict = {}
+            for p in parts.values():
+                for k, x in p.get("metrics", {}).items():
+                    if isinstance(x, (int, float)):
+                        agg[k] = agg.get(k, 0) + x
+            if agg:
+                stage_metrics.setdefault(st, {}).update(
+                    {f"parts_{k}": round(x, 1) for k, x in agg.items()}
+                )
     shutil.rmtree(idx, ignore_errors=True)
     with open(out_path, "w") as f:
         json.dump({"cpus": cpus, "n_pages": n_pages, "wall_sec": wall,
