@@ -289,6 +289,37 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
                     lat_c[max(int(len(lat_c) * 0.95) - 1, 0)] * 1e3, 2
                 )
                 cls_lat.setdefault(st, []).extend(lat_c)
+        # --- HTTP façade loop: GET /api/search against the SAME warm
+        # resident searcher (http_api.py) -- directly comparable to the
+        # reference's FastAPI numbers (BASELINE.md measures its cloud
+        # HTTP round trips).  Transport tax = http p50 - resident p50.
+        import urllib.parse
+        import urllib.request
+
+        from chavinha_mini_search_engine_spark.http_api import (
+            ResidentHTTPServer,
+        )
+
+        srv = ResidentHTTPServer(store, cfg, searcher=rs).start()
+        try:
+            hq = [q for qs in classes.values() for q in qs]
+            url = f"http://127.0.0.1:{srv.port}/api/search?search_type=bm25&limit=10&q="
+            for q in hq[:3]:
+                urllib.request.urlopen(url + urllib.parse.quote(q), timeout=30).read()
+            hlat = []
+            for q in hq:
+                t = time.time()
+                urllib.request.urlopen(url + urllib.parse.quote(q), timeout=30).read()
+                hlat.append(time.time() - t)
+            hlat.sort()
+            timings["bm25_http_n"] = len(hlat)
+            timings["bm25_http_p50_ms"] = round(hlat[len(hlat) // 2] * 1e3, 2)
+            timings["bm25_http_p95_ms"] = round(
+                hlat[max(int(len(hlat) * 0.95) - 1, 0)] * 1e3, 2
+            )
+        finally:
+            srv.stop()
+
         # fold the per-class bm25 latencies into the matched-only
         # distribution (they all match by construction) so the headline
         # matched stats rest on a real sample, not the 3 reference
@@ -404,6 +435,7 @@ _COMPACT_KEYS = (
     "bm25_resident_matched_n", "bm25_resident_matched_p50_ms",
     "bm25_resident_matched_p95_ms",
     "bm25_resident_selective_p50_ms", "bm25_resident_degenerate_p50_ms",
+    "bm25_http_p50_ms", "bm25_http_p95_ms",
     "hybrid_resident_selective_p50_ms", "hybrid_resident_degenerate_p50_ms",
     "semantic_resident_selective_p50_ms",
     "bm25_scan_topk", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
