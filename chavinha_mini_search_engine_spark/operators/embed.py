@@ -15,6 +15,7 @@ chars (indexer.py:218, :121); chunk embed text = chunk_content (indexer.py:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -28,14 +29,45 @@ from ..oracle.embedder import EMBED_TRUNCATE, embed_text
 
 
 def _load_model():
-    # one-time per-python-worker init point (indexer.py:58 analog).
-    # Measured negative result (round 3): a fully batched variant
-    # (factorize tokens -> gather token-vector matrix -> add.reduceat per
-    # doc) ran ~5x SLOWER than this cached per-token accumulate -- the
-    # gather materializes (n_tokens x dim) float64 and doubles memory
-    # traffic, and the stage is bandwidth-bound, not overhead-bound.  A
-    # real model replaces this seam on GPU (the reference embeds there),
-    # where batching IS the win.
+    """One-time per-python-worker init point (indexer.py:58 analog).
+
+    ``SPARK_GRAFT_EMBED_MODEL`` selects the encoder: ``pseudo`` (default)
+    is the deterministic hermetic hash embedder -- the driver's oracle
+    gates and the recall tests PIN its outputs, so a real model must stay
+    opt-in; any other value attempts sentence-transformers (``auto`` =
+    all-MiniLM-L6-v2, the reference's model, indexer.py:58 -- dim 384
+    matches config.EMBEDDING_DIM) and falls back to pseudo with a warning
+    when the wheel is absent.  Round-5 probe of this sandbox:
+    sentence_transformers / onnxruntime / torch / transformers all
+    ImportError, so the fallback is what runs here.
+
+    Measured negative result (round 3) on the pseudo path: a fully
+    batched variant (factorize tokens -> gather token-vector matrix ->
+    add.reduceat per doc) ran ~5x SLOWER than the cached per-token
+    accumulate -- the gather materializes (n_tokens x dim) float64 and
+    doubles memory traffic, and the stage is bandwidth-bound.  A real
+    model replaces this seam on GPU, where batching IS the win.
+    """
+    name = os.environ.get("SPARK_GRAFT_EMBED_MODEL", "pseudo")
+    if name != "pseudo":
+        try:
+            from sentence_transformers import SentenceTransformer
+
+            m = SentenceTransformer(
+                "sentence-transformers/all-MiniLM-L6-v2" if name == "auto"
+                else name
+            )
+            return lambda texts: list(
+                m.encode(list(texts), normalize_embeddings=True)
+            )
+        except ImportError:
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_EMBED_MODEL={name!r} requested but "
+                "sentence-transformers is not installed; using the "
+                "deterministic pseudo-embedder"
+            )
     return lambda texts: [embed_text(t) for t in texts]
 
 
