@@ -1076,7 +1076,13 @@ def attributes(unified: DataFrame, cfg: IndexConfig,
         return out
 
     u = u.withColumn("sem_bucket", _bucket(F.col("embedding")))
-    return u.select(*ATTR_SCHEMA_COLS)
+    # cfg-derived projection (== ATTR_SCHEMA_COLS for the default schema):
+    # a custom-field index carries exactly its own len_* columns
+    cols = [
+        "shard", "local_id", "id", "doc_type", "parent_id",
+        "parent_doc_type",
+    ] + [f"len_{f}" for f in cfg.fields] + ["embedding", "sem_bucket"]
+    return u.select(*cols)
 
 
 # ---------- orchestrator ----------

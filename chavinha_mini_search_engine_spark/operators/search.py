@@ -40,12 +40,10 @@ from pyspark.sql import functions as F
 
 from ..config import (
     BM25_CHUNK_WEIGHTS,
-    BM25_FULL_WEIGHTS,
     DEFAULT_LIMIT,
     HYBRID_BM25_WEIGHT,
     HYBRID_SEM_WEIGHT,
     HYBRID_SIGMOID_SCALE,
-    INDEXED_FIELDS,
     MAX_LIMIT,
     SNIPPET_FALLBACK_CHARS,
     IndexConfig,
@@ -84,6 +82,21 @@ def semantic_probes(cfg: IndexConfig, qvec: np.ndarray) -> List[int]:
                 m ^= 1 << b
             probes.append(m)
     return probes
+
+
+def _query_fields_weights(cfg: IndexConfig, search_type: str):
+    """bm25 queries the full-doc fields with the rank-profile weights
+    (doc.sd:139-143); hybrid/semantic additionally query chunk_content
+    (doc.sd:165-176).  Derived from cfg so a custom-schema index (e.g.
+    the driver gate's content-only build) serves with its own geometry;
+    the defaults reproduce the reference profiles exactly."""
+    fields = [f for f in cfg.fields if search_type != "bm25" or f != "chunk_content"]
+    weights = dict(cfg.field_weights)
+    if search_type != "bm25" and "chunk_content" in cfg.fields:
+        weights.setdefault(
+            "chunk_content", BM25_CHUNK_WEIGHTS["chunk_content"]
+        )
+    return fields, weights
 
 
 def _query_terms(query: str) -> List[str]:
@@ -147,8 +160,8 @@ def shard_state(attr_pdf: pd.DataFrame) -> ShardState:
         pd.isna(st.parents), st.ids, st.parents
     ).astype(str)
     st.lens = {
-        f: np.asarray(attr_pdf[f"len_{f}"].values, dtype=np.float64)[order]
-        for f in INDEXED_FIELDS
+        c[4:]: np.asarray(attr_pdf[c].values, dtype=np.float64)[order]
+        for c in attr_pdf.columns if c.startswith("len_")
     }
     st.is_full = st.doc_types == "full_doc"
     if "sem_bucket" in attr_pdf.columns:
@@ -578,13 +591,7 @@ class SearchEngine:
             raise ValueError(f"invalid semantic_mode {semantic_mode}")
 
         terms = _query_terms(query)
-        fields = (
-            ["title", "content", "description"] if search_type == "bm25"
-            else list(INDEXED_FIELDS)
-        )
-        weights = BM25_FULL_WEIGHTS if search_type == "bm25" else {
-            **BM25_FULL_WEIGHTS, "chunk_content": BM25_CHUNK_WEIGHTS["chunk_content"],
-        }
+        fields, weights = _query_fields_weights(self.cfg, search_type)
 
         info = self._term_info(terms, fields) if search_type != "semantic" else {}
         if search_type != "semantic" and not info:
@@ -597,7 +604,7 @@ class SearchEngine:
             for (f, t), (idf, _df) in info.items()
             if weights.get(f)
         }
-        avgdl = {f: self.stats.get(f, (0, 1.0))[1] or 1.0 for f in INDEXED_FIELDS}
+        avgdl = {f: self.stats.get(f, (0, 1.0))[1] or 1.0 for f in self.cfg.fields}
 
         kernel = _bm25_shard_kernel(
             term_payload, avgdl, self.cfg.k1, self.cfg.b, k, search_type,
@@ -605,7 +612,7 @@ class SearchEngine:
         )
 
         attr_cols = ["shard", "local_id", "id", "doc_type", "parent_id",
-                     "parent_doc_type"] + [f"len_{f}" for f in INDEXED_FIELDS]
+                     "parent_doc_type"] + [f"len_{f}" for f in self.cfg.fields]
         if search_type in ("semantic", "hybrid"):
             attr_cols.append("embedding")
         attrs = self._attrs

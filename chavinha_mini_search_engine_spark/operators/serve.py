@@ -35,10 +35,7 @@ import pandas as pd
 import pyarrow.dataset as pads
 
 from ..config import (
-    BM25_CHUNK_WEIGHTS,
-    BM25_FULL_WEIGHTS,
     DEFAULT_LIMIT,
-    INDEXED_FIELDS,
     MAX_LIMIT,
     IndexConfig,
 )
@@ -293,12 +290,18 @@ class ResidentSearcher:
 
             shard_filter = pc.field("shard").isin(sorted(self.shards))
 
-        attrs = _read_parts_arrow(store.path("attributes"), ATTR_COLS,
+        # cfg-derived so a custom-schema store (fewer indexed fields ->
+        # fewer len_* columns) loads; the default equals ATTR_COLS
+        attr_cols = [
+            "shard", "local_id", "id", "doc_type", "parent_id",
+            "parent_doc_type",
+        ] + [f"len_{f}" for f in self.cfg.fields] + ["embedding", "sem_bucket"]
+        attrs = _read_parts_arrow(store.path("attributes"), attr_cols,
                                   filter=shard_filter)
         if store.has_parts("attributes_delta"):
             attrs = pd.concat(
                 [attrs, _read_parts_arrow(
-                    store.path("attributes_delta"), ATTR_COLS,
+                    store.path("attributes_delta"), attr_cols,
                     part_names=store.committed_parts("attributes_delta"),
                     filter=shard_filter)],
                 ignore_index=True,
@@ -381,13 +384,9 @@ class ResidentSearcher:
             raise ValueError(f"invalid semantic_mode {semantic_mode}")
 
         terms = _query_terms(query)
-        fields = (
-            ["title", "content", "description"] if search_type == "bm25"
-            else list(INDEXED_FIELDS)
-        )
-        weights = BM25_FULL_WEIGHTS if search_type == "bm25" else {
-            **BM25_FULL_WEIGHTS, "chunk_content": BM25_CHUNK_WEIGHTS["chunk_content"],
-        }
+        from .search import _query_fields_weights
+
+        fields, weights = _query_fields_weights(self.cfg, search_type)
         term_payload = {
             (f, t): (weights[f], self.term_dict[(f, t)][0])
             for f in fields for t in terms
@@ -397,7 +396,7 @@ class ResidentSearcher:
             return None
         qvec = embed_text(query) if search_type in ("semantic", "hybrid") else None
         q64 = np.asarray(qvec, dtype=np.float64) if qvec is not None else None
-        avgdl = {f: self.stats.get(f, (0, 1.0))[1] or 1.0 for f in INDEXED_FIELDS}
+        avgdl = {f: self.stats.get(f, (0, 1.0))[1] or 1.0 for f in self.cfg.fields}
 
         probes = None
         if search_type == "semantic" and semantic_mode == "lsh":
