@@ -300,6 +300,60 @@ def _encode_partial_runs_files(batches):
                 )
 
 
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet table from file footers -- the same
+    value as ``spark.read.parquet(path).count()`` without scheduling a
+    Spark job (guide §1.2: the collect_metrics actions were pure serial
+    per-action latency on the build's critical path)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def _postings_part_metrics(path: str) -> list:
+    """Per-shard (shard, blocks, postings, bytes) of one committed
+    postings part, computed driver-side with pyarrow.  Replaces a
+    read-back Spark job per shard-group (schema inference + groupBy
+    exchange + collect) whose scheduling overhead dominated the build at
+    small scale; the values are identical (count, sum(n),
+    sum(length(doc_bytes)+length(tf_bytes)) grouped by shard)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, format="parquet", partitioning="hive")
+    tbl = ds.to_table(columns=["shard", "n", "doc_bytes", "tf_bytes"])
+    blen = pc.add(
+        pc.binary_length(tbl.column("doc_bytes")),
+        pc.binary_length(tbl.column("tf_bytes")),
+    )
+    t2 = pa.table({
+        "shard": tbl.column("shard"),
+        "n": tbl.column("n"),
+        "bytes": pc.cast(blen, pa.int64()),
+    })
+    agg = t2.group_by("shard").aggregate(
+        [("n", "sum"), ("bytes", "sum"), ("shard", "count")]
+    )
+    return [
+        {
+            "shard": int(s), "postings": int(n or 0),
+            "bytes": int(by or 0), "blocks": int(c),
+        }
+        for s, n, by, c in zip(
+            agg.column("shard").to_pylist(),
+            agg.column("n_sum").to_pylist(),
+            agg.column("bytes_sum").to_pylist(),
+            agg.column("shard_count").to_pylist(),
+        )
+    ]
+
+
 def tf_scan_units(tf_dir: str) -> list:
     """Driver-side enumeration of (file, row_group) scan units for the
     direct-pyarrow encode path.  Footer reads only -- cheap (one small
@@ -1069,10 +1123,15 @@ def attributes(unified: DataFrame, cfg: IndexConfig,
             i for i, v in enumerate(embs)
             if v is not None and len(v) == dim
         ]
-        if ok:
-            x = np.stack([embs.iloc[i] for i in ok]).astype(np.float64)
+        # slice the matmul at a fixed row grain so peak kernel memory is
+        # independent of the session Arrow batch size (the postings stage
+        # raises maxRecordsPerBatch session-wide, and this stage now runs
+        # concurrently with it -- guide §2.6)
+        for s in range(0, len(ok), 4096):
+            sl = ok[s:s + 4096]
+            x = np.stack([embs.iloc[i] for i in sl]).astype(np.float64)
             bits = (x @ planes.T) > 0
-            out.iloc[ok] = (bits * weights).sum(axis=1).astype(np.int32)
+            out.iloc[sl] = (bits * weights).sum(axis=1).astype(np.int32)
         return out
 
     u = u.withColumn("sem_bucket", _bucket(F.col("embedding")))
@@ -1147,7 +1206,7 @@ def build_index(
             assert bad == 0, f"{bad} rows violate byte-identical extraction"
         m = {"wall_sec": time.time() - t}
         if collect_metrics:
-            n = store.read(spark, "docs").count()
+            n = parquet_num_rows(store.path("docs"))
             m.update(rows=n, docs_per_sec=n / max(m["wall_sec"], 1e-9))
         store.finish_stage("docs", m)
 
@@ -1166,7 +1225,7 @@ def build_index(
         store.write(ch, "chunks")
         m = {"wall_sec": time.time() - t}
         if collect_metrics:
-            m["rows"] = store.read(spark, "chunks").count()
+            m["rows"] = parquet_num_rows(store.path("chunks"))
         store.finish_stage("chunks", m)
 
     chunks = store.read(spark, "chunks")
@@ -1244,7 +1303,7 @@ def build_index_from_docs(
         store.write(d, "docs")
         m = {"wall_sec": time.time() - t}
         if collect_metrics:
-            n = store.read(spark, "docs").count()
+            n = parquet_num_rows(store.path("docs"))
             m.update(rows=n, docs_per_sec=n / max(m["wall_sec"], 1e-9))
         store.finish_stage("docs", m)
 
@@ -1270,7 +1329,7 @@ def build_index_from_docs(
         store.write(ch, "chunks")
         m = {"wall_sec": time.time() - t}
         if collect_metrics:
-            m["rows"] = store.read(spark, "chunks").count()
+            m["rows"] = parquet_num_rows(store.path("chunks"))
         store.finish_stage("chunks", m)
 
     chunks = store.read(spark, "chunks")
@@ -1462,10 +1521,12 @@ def _index_stages_from_unified(
     arrow_batch = os.environ.get("SPARK_GRAFT_POSTINGS_ARROW_BATCH", "32768")
     prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch)
-    for g in range(cfg.shard_groups):
+
+    def _one_group(g: int) -> None:
         part = f"grp={g}"
-        if store.stage_done("postings", part):
-            continue
+        # job group/description are thread-local: label inside the worker
+        _tag_jobs(spark, "postings")
+        spark.sparkContext.setJobDescription(f"postings {part}")
         t = time.time()
         tf_g = tf.filter(F.col("grp") == g)
         # (file, row-group) units of this group's tf partition dir, for
@@ -1476,38 +1537,36 @@ def _index_stages_from_unified(
         store.write(blocks, "postings", part=part, partition_by=["tbucket"])
         wall = time.time() - t
         if collect_metrics:
-            bdf = store.read(spark, "postings", part=part)
-            # one pass for both the part totals and per-shard lineage rows
-            shard_rows = bdf.groupBy("shard").agg(
-                F.count(F.lit(1)).alias("blocks"),
-                F.sum("n").alias("postings"),
-                F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-            ).collect()
-            tot_post = sum(int(r["postings"] or 0) for r in shard_rows)
+            # driver-side pyarrow aggregation -- same values as the former
+            # read-back Spark job (groupBy shard: count, sum n, sum payload
+            # lengths), no job scheduling on the critical path
+            shard_rows = _postings_part_metrics(store.path("postings", part))
+            tot_post = sum(r["postings"] for r in shard_rows)
             store.finish_part("postings", part, {
-                "blocks": sum(int(r["blocks"]) for r in shard_rows),
+                "blocks": sum(r["blocks"] for r in shard_rows),
                 "postings": tot_post,
-                "bytes_compressed": sum(int(r["bytes"] or 0) for r in shard_rows),
+                "bytes_compressed": sum(r["bytes"] for r in shard_rows),
                 "postings_per_sec": tot_post / max(wall, 1e-9),
                 "wall_sec": wall,
             })
             store.append_metrics(spark, [
-                (store.build_id, "postings", int(r["shard"]), int(r["postings"]),
+                (store.build_id, "postings", r["shard"], r["postings"],
                  0.0, float(r["postings"]) / max(wall, 1e-9),
-                 0, int(r["bytes"]), wall)
+                 0, r["bytes"], wall)
                 for r in shard_rows
             ])
         else:
             store.finish_part("postings", part, {"wall_sec": wall})
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
-    store.finish_stage("postings")
 
-    # stage: attributes (consumes the materialized doclens table -- no
-    # second tokenization, no posting-grain re-scan; tf fallback keeps
-    # stores built before doclens existed resumable)
-    if not store.stage_done("attributes"):
+    def _attributes_task() -> None:
+        # stage: attributes (consumes the materialized doclens table -- no
+        # second tokenization, no posting-grain re-scan; tf fallback keeps
+        # stores built before doclens existed resumable).  Depends only on
+        # stats-stage outputs, so it runs CONCURRENTLY with the postings
+        # groups (guide §2.6) and back-fills their serial tails.
         store.begin_stage("attributes")
         _tag_jobs(spark, "attributes")
+        spark.sparkContext.setJobDescription("attributes")
         t = time.time()
         lens = store.read(spark, "doclens") if store.exists("doclens") else None
         store.write(
@@ -1516,6 +1575,35 @@ def _index_stages_from_unified(
             "attributes", partition_by=["shard"],
         )
         store.finish_stage("attributes", {"wall_sec": time.time() - t})
+
+    pending = [
+        g for g in range(cfg.shard_groups)
+        if not store.stage_done("postings", f"grp={g}")
+    ]
+    # Overlap the independent jobs (guide §2.6): each postings group's
+    # stages have serial tails (global merge exchange, 1-task dirs of the
+    # dynamic-partition write) that leave most cores idle; concurrent
+    # submission back-fills them with the next group's (and the attributes
+    # stage's) tasks.  Memory per TASK is unchanged (the scheduler still
+    # caps concurrent tasks at the core count), so the overlap is safe at
+    # any scale; the env knob keeps the serial order reproducible for A/Bs.
+    n_jobs = int(os.environ.get("SPARK_GRAFT_POSTINGS_JOBS", "0")) \
+        or min(len(pending), 4)
+    tasks = [(lambda g=g: _one_group(g)) for g in pending]
+    if not store.stage_done("attributes"):
+        tasks.append(_attributes_task)
+    if len(tasks) > 1 and n_jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(n_jobs + 1, len(tasks))) as pool:
+            futures = [pool.submit(t) for t in tasks]
+            for f in futures:
+                f.result()
+    else:
+        for t_ in tasks:
+            t_()
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
+    store.finish_stage("postings")
 
     # stage: graph (optional) -- per-shard HNSW over stored embeddings,
     # the Vespa hnsw-attribute analog (doc.sd:55-60); serve's

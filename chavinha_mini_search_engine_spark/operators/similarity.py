@@ -21,6 +21,7 @@ import hashlib
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,14 +40,56 @@ def _norm(a):
     )
 
 
+def _stack64(series: pd.Series):
+    """Arrow list<float> batch -> (n, dim) float64 matrix + non-null mask
+    (cast BEFORE any arithmetic, matching the Catalyst ``transform(cast
+    double)`` form).  Null vectors become zero rows with mask False, so
+    callers can emit null results for them (the old HOF expressions
+    propagated null)."""
+    vals = series.to_numpy()
+    mask = np.array([v is not None for v in vals], dtype=bool)
+    if mask.all():
+        return np.stack(vals).astype(np.float64), mask
+    ok = np.flatnonzero(mask)
+    if not ok.size:
+        return np.zeros((len(vals), 1)), mask
+    dim = len(vals[ok[0]])
+    m = np.zeros((len(vals), dim), dtype=np.float64)
+    m[ok] = np.stack(vals[ok]).astype(np.float64)
+    return m, mask
+
+
 def cosine_col(vec_col, query: Sequence[float]):
-    q = [float(x) for x in query]
-    qn = float(np.linalg.norm(q)) or 1.0
-    qlit = F.array(*[F.lit(x) for x in q])
-    # cast the stored float32 vector to double BEFORE any arithmetic so the
-    # result matches a float64 oracle bit-for-bit
-    v = F.transform(vec_col, lambda x: x.cast("double"))
-    return _dot(v, qlit) / (F.when(_norm(v) == 0, F.lit(1.0)).otherwise(_norm(v)) * F.lit(qn))
+    """Cosine(vec, query) as a vectorized Arrow kernel.
+
+    The previous spelling was Catalyst higher-order functions
+    (aggregate/zip_with) whose lambdas are interpreted per ELEMENT -- no
+    whole-stage codegen -- which made every cosine a ~dim-step interpreter
+    loop (guide §4.2; the index build hit the same wall in
+    index_build.attributes and moved to a batched numpy matmul).  One
+    (batch x dim) @ (dim,) product per Arrow batch replaces it; float64
+    end-to-end like the old expression, and the rounded-6dp outputs are
+    byte-identical against the DuckDB oracle on the gate data
+    (scripts/check_oracle.py)."""
+    q64 = np.asarray([float(x) for x in query], dtype=np.float64)
+    qn = float(np.linalg.norm(q64)) or 1.0
+
+    @F.pandas_udf("double")
+    def _qcos(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series(np.zeros(0))
+        m, mask = _stack64(v)
+        dots = m @ q64
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        norms[norms == 0] = 1.0
+        out = dots / (norms * qn)
+        if mask.all():
+            return pd.Series(out)
+        res = pd.Series(out, dtype="float64")
+        res[~mask] = None
+        return res
+
+    return _qcos(vec_col)
 
 
 def cosine_topk(
@@ -113,7 +156,7 @@ def cosine_neardup_pairs_banded(
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     dim = len(e.select("v").first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    narrow = e.select("id", _bucket_expr(F.col("v"), planes).alias("_bkt"))
+    narrow = e.select("id", _bucket_udf_col(F.col("v"), planes).alias("_bkt"))
     masks = [
         sum(1 << b for b in bits)
         for r in range(max_hamming + 1)
@@ -138,14 +181,11 @@ def cosine_neardup_pairs_banded(
     va = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
     vb = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
     j = cand.join(va, "a").join(vb, "b")
-    vx = F.transform(F.col("va"), lambda t: t.cast("double"))
-    vy = F.transform(F.col("vb"), lambda t: t.cast("double"))
-    cos = _dot(vx, vy) / (
-        F.when(_norm(vx) == 0, F.lit(1.0)).otherwise(_norm(vx))
-        * F.when(_norm(vy) == 0, F.lit(1.0)).otherwise(_norm(vy))
-    )
+    # candidate verification as ONE batched numpy kernel per Arrow batch
+    # instead of 5 interpreted per-element folds per pair (guide §4.2);
+    # float64 semantics identical to the HOF spelling, gate-checked
     return (
-        j.select("a", "b", F.round(cos, 6).alias("cosine"))
+        j.select("a", "b", F.round(_pair_cosine("va", "vb"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -158,13 +198,65 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def _bucket_expr(vec_col, planes: np.ndarray):
-    """sign-bit bucket id as a JVM expression: sum of bit * (dot > 0)."""
+    """sign-bit bucket id as a JVM expression: sum of bit * (dot > 0).
+    Kept as the reference spelling (the DuckDB twin mirrors it term by
+    term); hot paths use the batched numpy form below -- identical sign
+    bits (same float64 dot, compared > 0)."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
     b = F.lit(0)
     for i, p in enumerate(planes):
         plit = F.array(*[F.lit(float(x)) for x in p])
         b = b + F.when(_dot(v, plit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b
+
+
+def _bucket_udf_col(vec_col, planes: np.ndarray):
+    """sign-bit bucket id as one (batch x dim) @ (dim x planes) matmul per
+    Arrow batch -- the same kernel the index build uses for sem_bucket
+    (index_build.attributes), replacing n_planes interpreted HOF dots per
+    row (guide §4.2)."""
+    pT = planes.T.astype(np.float64)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("int")
+    def _bkt(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        m, mask = _stack64(v)
+        bits = (m @ pT) > 0
+        out = pd.Series((bits * weights).sum(axis=1).astype(np.int32))
+        if not mask.all():
+            out = out.astype("Int32")
+            out[~mask] = None
+        return out
+
+    return _bkt(vec_col)
+
+
+def _pair_cosine(col_a, col_b):
+    """cosine(va, vb) as a batched numpy kernel (float64; zero norms map
+    to 1.0 exactly like the guarded HOF expression)."""
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series(np.zeros(0))
+        a, ma = _stack64(va)
+        b_, mb = _stack64(vb)
+        dots = np.einsum("ij,ij->i", a, b_)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b_, b_))
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        out = dots / (na * nb)
+        mask = ma & mb
+        if mask.all():
+            return pd.Series(out)
+        res = pd.Series(out, dtype="float64")
+        res[~mask] = None
+        return res
+
+    return _cos(col_a, col_b)
 
 
 def add_lsh_bucket(
@@ -177,7 +269,7 @@ def add_lsh_bucket(
     engine's index build does exactly this for chunk embeddings
     (index_build.attributes -> sem_bucket)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    return emb.withColumn(bucket_col, _bucket_expr(F.col(vec_col), planes))
+    return emb.withColumn(bucket_col, _bucket_udf_col(F.col(vec_col), planes))
 
 
 def lsh_probes(
@@ -217,7 +309,7 @@ def lsh_bucketed_topk(
     probes = lsh_probes(query, n_planes, probe_radius, seed)
     if bucket_col is None:
         planes = _hyperplanes(len(query), n_planes, seed)
-        bucketed = emb.withColumn("_bkt", _bucket_expr(F.col(vec_col), planes))
+        bucketed = emb.withColumn("_bkt", _bucket_udf_col(F.col(vec_col), planes))
         bucket_col = "_bkt"
     else:
         bucketed = emb

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from typing import Optional
@@ -78,6 +79,9 @@ class IndexStore:
         # unique-per-instance tmp suffix so any two writers that do race
         # (same store opened twice for building) still never collide
         self._tmp_tag = uuid.uuid4().hex[:8]
+        # manifest mutations are serialized: postings shard-groups commit
+        # from concurrent driver threads (guide §2.6 job overlap)
+        self._manifest_lock = threading.Lock()
 
     @property
     def build_id(self) -> str:
@@ -105,27 +109,30 @@ class IndexStore:
         return st.get("parts", {}).get(part, {}).get("status") == "done"
 
     def begin_stage(self, stage: str) -> None:
-        self.manifest["stages"].setdefault(
-            stage, {"status": "running", "parts": {}}
-        )["started_ts"] = time.time()
-        self._write_manifest()
+        with self._manifest_lock:
+            self.manifest["stages"].setdefault(
+                stage, {"status": "running", "parts": {}}
+            )["started_ts"] = time.time()
+            self._write_manifest()
 
     def finish_stage(self, stage: str, metrics: Optional[dict] = None) -> None:
-        st = self.manifest["stages"][stage]
-        st["status"] = "done"
-        st["finished_ts"] = time.time()
-        if metrics:
-            st["metrics"] = metrics
-        self._write_manifest()
+        with self._manifest_lock:
+            st = self.manifest["stages"][stage]
+            st["status"] = "done"
+            st["finished_ts"] = time.time()
+            if metrics:
+                st["metrics"] = metrics
+            self._write_manifest()
 
     def finish_part(self, stage: str, part: str, metrics: Optional[dict] = None) -> None:
-        st = self.manifest["stages"].setdefault(stage, {"status": "running", "parts": {}})
-        st.setdefault("parts", {})[part] = {
-            "status": "done",
-            "finished_ts": time.time(),
-            "metrics": metrics or {},
-        }
-        self._write_manifest()
+        with self._manifest_lock:
+            st = self.manifest["stages"].setdefault(stage, {"status": "running", "parts": {}})
+            st.setdefault("parts", {})[part] = {
+                "status": "done",
+                "finished_ts": time.time(),
+                "metrics": metrics or {},
+            }
+            self._write_manifest()
 
     # Tables whose top-level part dirs are committed individually via
     # ``finish_part`` under the listed manifest stage(s).  Every other
@@ -254,15 +261,43 @@ class IndexStore:
     def exists(self, table: str, part: Optional[str] = None) -> bool:
         return os.path.exists(self.path(table, part))
 
+    # build_metrics schema (FIXTURES.md): kept identical to what the
+    # previous Spark `createDataFrame(...).write.parquet` emitted so old
+    # and new part files union cleanly under one reader.
+    _METRICS_FIELDS = (
+        ("build_id", "string"), ("stage", "string"), ("shard", "int32"),
+        ("rows", "int64"), ("docs_per_sec", "float64"),
+        ("postings_per_sec", "float64"), ("bytes_in", "int64"),
+        ("bytes_compressed", "int64"), ("wall_sec", "float64"),
+    )
+
     def append_metrics(self, spark: SparkSession, rows: list) -> None:
-        """Per-partition lineage/metrics rows (FIXTURES.md build_metrics)."""
+        """Per-partition lineage/metrics rows (FIXTURES.md build_metrics).
+
+        Written driver-side with pyarrow: the rows are per-shard scalars
+        (KBs), so a Spark `createDataFrame + coalesce(1).write` job here
+        was pure scheduling overhead -- one of 4+ such actions that made
+        the postings stage spend 3x its actual compute wall in metrics
+        bookkeeping (OPTIMIZATION_r06.md).  Schema and file layout are
+        unchanged; `spark` stays in the signature for call-site compat."""
         if not rows:
             return
-        df = spark.createDataFrame(
-            rows,
-            "build_id string, stage string, shard int, rows long, "
-            "docs_per_sec double, postings_per_sec double, "
-            "bytes_in long, bytes_compressed long, wall_sec double",
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [pa.field(n, getattr(pa, t)()) for n, t in self._METRICS_FIELDS]
+        )
+        cols = list(zip(*rows))
+        tbl = pa.table(
+            {f[0]: list(c) for f, c in zip(self._METRICS_FIELDS, cols)},
+            schema=schema,
         )
         out = self.path("build_metrics", f"part={uuid.uuid4().hex[:8]}")
-        df.coalesce(1).write.mode("overwrite").parquet(out)
+        tmp = out + f".__tmp_{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        os.replace(tmp, out)
