@@ -49,8 +49,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles_col(text_col, n: int = 3):
-    """Word n-gram shingles (distinct), JVM-side."""
+    """Word n-gram shingles (distinct), JVM-side.
+
+    NOTE: this single-expression spelling inlines the tokenizer into
+    every reference inside the ``when``/``transform`` tree, and
+    conditional branches block Spark's subexpression elimination -- the
+    tokens expression is re-evaluated many times per row (measured 20x
+    slower than the two-step form at sf0.1).  Hot paths use
+    ``_shingled(df, ...)`` below, which materializes the tokens column in
+    its own projection first; outputs are identical (A/B-verified).
+    Kept because it is the exact expression the DuckDB twin mirrors."""
     toks = tokens_col(text_col)
+    return _shingles_from_tokens(toks, n)
+
+
+def _shingles_from_tokens(toks, n: int = 3):
+    """Shingles from an (already-materialized) tokens array column."""
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -62,6 +76,17 @@ def shingles_col(text_col, n: int = 3):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) with the tokens array materialized in its OWN projection
+    so the tokenizer runs once per row (CollapseProject keeps the
+    intermediate because the shingle expression references it many
+    times) -- the 20x fix described in shingles_col."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    return toks.select("id", _shingles_from_tokens(F.col("_toks"), n).alias("sh"))
 
 
 def jaccard_pairs(
@@ -78,9 +103,7 @@ def jaccard_pairs(
     (stop-shingles) -- mandatory at web scale, off by default so the small
     -scale result is exactly the quadratic ground truth.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = _shingled(df, id_col, text_col, n).filter(F.size("sh") > 0)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_bucket:
@@ -128,20 +151,18 @@ def minhash_signatures(
       Spark and DuckDB, so the full pipeline is verifiable by the driver's
       SQL oracle (__spark_entry__.oracle_sql).
     """
+    shingled = _shingled(df, id_col, text_col, n)
     if hash_family == "md5":
-        ex = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-        )
+        ex = shingled.select("id", F.explode("sh").alias("s"))
         aggs = [
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"_m{i}")
             for i in range(num_perm)
         ]
     else:
-        ex = df.select(
-            F.col(id_col).alias("id"),
+        ex = shingled.select(
+            "id",
             F.explode(
-                F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s))
             ).alias("h"),
         )
         aggs = [
@@ -209,9 +230,7 @@ def minhash_lsh_dedup(
     """LSH candidates verified with exact Jaccard (computed only for
     candidate pairs -- the web-scale pattern: candidates << all pairs)."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n, hash_family)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    )
+    sh = _shingled(df, id_col, text_col, n)
     j = (
         cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
