@@ -138,6 +138,77 @@ def profile_ops(sf_dir: str, cpus: int, reps: int = 3) -> None:
     spark.stop()
 
 
+def profile_resident(sf_dir: str, cpus: int) -> None:
+    """Resident serve-path latencies, bench.py-equivalent protocol
+    (build once, warm, time ALL_QUERIES + per-class sets)."""
+    from pyspark.sql import functions as F
+
+    import bench as bench_mod
+    from chavinha_mini_search_engine_spark.fixtures.pages import pages_from_documents
+    from chavinha_mini_search_engine_spark.fixtures.queries import ALL_QUERIES
+    from chavinha_mini_search_engine_spark.operators.index_build import (
+        IndexConfig,
+        build_index,
+    )
+    from chavinha_mini_search_engine_spark.operators.serve import ResidentSearcher
+    from chavinha_mini_search_engine_spark.sources.tables import IndexStore
+
+    spark = _spark(cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    idx_dir = tempfile.mkdtemp(prefix="bx_res_")
+    timings = {}
+    try:
+        pages = pages_from_documents(docs)
+        cfg = IndexConfig(num_doc_shards=cpus, shard_groups=4,
+                          heavy_term_df=max(n_docs // 10, 100), num_salts=8,
+                          term_buckets=64)
+        store = IndexStore(os.path.join(idx_dir, "idx"), build_id="bxr")
+        build_index(spark, pages, store, cfg, with_embeddings=True,
+                    verify_text_invariant=False)
+        rs = ResidentSearcher(store, cfg)
+        for wq in ("warmup query python", "docker kubernetes", "a"):
+            rs.search(wq, "bm25", 10)
+        rlat, rlat_matched = [], []
+        for q in ALL_QUERIES:
+            t = time.time()
+            hits = rs.search(q, "bm25", 10)
+            dt = time.time() - t
+            rlat.append(dt)
+            if hits:
+                rlat_matched.append(dt)
+        rlat.sort()
+        timings["bm25_resident_p95_ms"] = round(rlat[int(len(rlat) * .95) - 1] * 1e3, 2)
+        classes = bench_mod._per_class_queries(spark, store)
+        for cls, qs in classes.items():
+            for st in ("bm25", "hybrid", "semantic"):
+                if qs and st == "bm25":
+                    rs.search(qs[0], st, 10)
+                lat_c = []
+                for q in qs:
+                    t = time.time()
+                    rs.search(q, st, 10)
+                    lat_c.append(time.time() - t)
+                if not lat_c:
+                    continue
+                lat_c.sort()
+                key = f"{st}_resident_{cls}"
+                timings[f"{key}_p50_ms"] = round(lat_c[len(lat_c) // 2] * 1e3, 2)
+                timings[f"{key}_p95_ms"] = round(
+                    lat_c[max(int(len(lat_c) * 0.95) - 1, 0)] * 1e3, 2)
+                if st == "bm25":
+                    rlat_matched.extend(lat_c)
+        m = sorted(rlat_matched)
+        timings["bm25_resident_matched_n"] = len(m)
+        timings["bm25_resident_matched_p50_ms"] = round(m[len(m) // 2] * 1e3, 2)
+        timings["bm25_resident_matched_p95_ms"] = round(
+            m[max(int(len(m) * 0.95) - 1, 0)] * 1e3, 2)
+        print(json.dumps(timings, indent=1, sort_keys=True))
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -146,6 +217,8 @@ def main():
         profile_build(sf_dir, cpus, reps=int(sys.argv[2]) if len(sys.argv) > 2 else 1)
     elif mode == "ops":
         profile_ops(sf_dir, cpus)
+    elif mode == "resident":
+        profile_resident(sf_dir, cpus)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

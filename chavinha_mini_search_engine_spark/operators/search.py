@@ -123,6 +123,7 @@ class ShardState:
     __slots__ = (
         "n_docs", "ids", "ids_sort", "parents", "doc_types",
         "parent_doc_types", "dedup_keys", "lens", "is_full", "sem_bucket",
+        "ids_rank", "key_codes",
         "_emb_vals", "_emb64", "_has_emb",
     )
 
@@ -145,12 +146,10 @@ class ShardState:
         return self._emb64, self._has_emb
 
 
-def shard_state(attr_pdf: pd.DataFrame) -> ShardState:
-    """pandas attributes -> ShardState (the only pandas-touching step)."""
+def _state_from_order(attr_pdf: pd.DataFrame, order: np.ndarray,
+                      n_docs: int) -> ShardState:
     st = ShardState()
-    lid = np.asarray(attr_pdf["local_id"].values, dtype=np.int64)
-    order = np.argsort(lid)
-    st.n_docs = int(lid[order[-1]]) + 1
+    st.n_docs = n_docs
     st.ids = attr_pdf["id"].values[order]
     st.ids_sort = st.ids.astype(str)          # lexsort-able tie-break key
     st.parents = attr_pdf["parent_id"].values[order]
@@ -174,7 +173,78 @@ def shard_state(attr_pdf: pd.DataFrame) -> ShardState:
         if "embedding" in attr_pdf.columns else np.full(len(st.ids), None)
     )
     st._emb64 = None
+    # integer stand-ins for the per-query sorts (query-independent, built
+    # once): ids_rank ranks positions in ids_sort order so topk_dedup can
+    # lexsort ints instead of strings; key_codes factorizes dedup_keys so
+    # first-per-key grouping is an int unique.  Hybrid's two-phase loop
+    # calls topk_dedup per chunk over a growing candidate set -- string
+    # sorts there dominated the degenerate-query latency.
+    n = len(st.ids)
+    st.ids_rank = np.empty(n, dtype=np.int64)
+    st.ids_rank[np.argsort(st.ids_sort, kind="stable")] = np.arange(n)
+    _, st.key_codes = np.unique(st.dedup_keys, return_inverse=True)
     return st
+
+
+def shard_state(attr_pdf: pd.DataFrame) -> ShardState:
+    """pandas attributes -> ShardState (the only pandas-touching step)."""
+    lid = np.asarray(attr_pdf["local_id"].values, dtype=np.int64)
+    order = np.argsort(lid)
+    return _state_from_order(attr_pdf, order, int(lid[order[-1]]) + 1)
+
+
+def fused_state(attr_pdf: pd.DataFrame) -> Tuple[ShardState, Dict[int, int]]:
+    """pandas attributes for MANY shards -> one global ShardState whose
+    position space is the per-shard dense local-id spaces laid out
+    back-to-back in ascending shard order, plus {shard: offset}.
+
+    The resident serve path scores all local shards in ONE numpy pass
+    over this state (posting block ranges are globalized with the same
+    offsets at load, see serve.ResidentSearcher) -- per-query cost no
+    longer pays ~15 small-array numpy calls per term PER SHARD.  Validity
+    rests on the same density invariant score_shard asserts per shard:
+    local_id is dense 0..n_s-1 within each shard, so global position =
+    offset[shard] + local_id indexes exactly this (shard, local_id)-
+    sorted layout."""
+    shard = np.asarray(attr_pdf["shard"].values, dtype=np.int64)
+    lid = np.asarray(attr_pdf["local_id"].values, dtype=np.int64)
+    order = np.lexsort((lid, shard))
+    st = _state_from_order(attr_pdf, order, len(order))
+    offsets: Dict[int, int] = {}
+    us, starts = np.unique(shard[order], return_index=True)
+    ends = np.concatenate((starts[1:], [len(order)]))
+    for s, a, b in zip(us, starts, ends):
+        offsets[int(s)] = int(a)
+        # density check (the per-shard twin of score_shard's assert)
+        assert lid[order[b - 1]] == b - a - 1, (
+            f"shard {s}: local_id space not dense ({b - a} rows, "
+            f"max local_id {lid[order[b - 1]]})"
+        )
+    return st, offsets
+
+
+def state_view(st: ShardState, start: int, stop: int) -> ShardState:
+    """Zero-copy per-shard view of a fused state (numpy slices share the
+    underlying buffers).  Used for the per-shard paths (graph mode,
+    shard-subset introspection); embmat is built lazily per view."""
+    v = ShardState()
+    v.n_docs = stop - start
+    v.ids = st.ids[start:stop]
+    v.ids_sort = st.ids_sort[start:stop]
+    v.parents = st.parents[start:stop]
+    v.doc_types = st.doc_types[start:stop]
+    v.parent_doc_types = st.parent_doc_types[start:stop]
+    v.dedup_keys = st.dedup_keys[start:stop]
+    v.lens = {f: a[start:stop] for f, a in st.lens.items()}
+    v.is_full = st.is_full[start:stop]
+    v.sem_bucket = st.sem_bucket[start:stop]
+    # global ranks/codes restricted to a slice keep their relative order /
+    # grouping, which is all topk_dedup uses
+    v.ids_rank = st.ids_rank[start:stop]
+    v.key_codes = st.key_codes[start:stop]
+    v._emb_vals = st._emb_vals[start:stop]
+    v._emb64 = None
+    return v
 
 
 def post_groups(post_pdf: pd.DataFrame) -> list:
@@ -308,14 +378,15 @@ def score_shard(
     if mode in ("bm25", "hybrid") and groups:
         assert len(state.ids) == n_docs, "attributes must be dense per shard"
         entries = []
-        for (field, term, firsts, lasts, maxs, ns, docb, tfb) in groups:
+        for (field, term, firsts, lasts, maxs, ns, docb, tfb, *rest) in groups:
             wi = term_payload.get((field, term))
             if wi is None:
                 continue
             w, idf = wi
             entries.append(
                 (field, term, w, idf, float(maxs.max()) * w,
-                 firsts, lasts, maxs, ns, docb, tfb)
+                 firsts, lasts, maxs, ns, docb, tfb,
+                 rest[0] if rest else None)
             )
         entries.sort(key=lambda e: -e[4])
         suffix = np.cumsum([e[4] for e in entries][::-1])[::-1]
@@ -325,8 +396,8 @@ def score_shard(
         # construction), so below that floor the bound evaluation is pure
         # overhead and is skipped
         prune_floor = cl_w if mode == "hybrid" else -math.inf
-        for i, (field, term, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb) \
-                in enumerate(entries):
+        for i, (field, term, w, idf, mx, firsts, lasts, maxs, ns, docb, tfb,
+                boffs) in enumerate(entries):
             rem_after = float(suffix[i + 1]) if i + 1 < len(entries) else 0.0
             ckey = (cache_shard, field, term) if decode_cache is not None else None
             hit = decode_cache.get(ckey) if ckey is not None else None
@@ -356,6 +427,8 @@ def score_shard(
                         pruned = True
                         ns = ns[sel]
                         docb, tfb = docb[sel], tfb[sel]
+                        if boffs is not None:
+                            boffs = boffs[sel]
                 adl = avgdl[field]
                 dl = state.lens[field]
                 total = int(ns.sum())
@@ -365,6 +438,10 @@ def score_shard(
                 offs = np.zeros(len(ns), dtype=np.uint64)
                 offs[1:] = ids_all[ends[:-1] - 1]
                 bl_ids = (ids_all - np.repeat(offs, ns)).astype(np.int64)
+                if boffs is not None:
+                    # fused serve layout: block payloads decode to SHARD-
+                    # local ids; the per-block base offset globalizes them
+                    bl_ids += np.repeat(boffs, ns)
                 tfs = varbyte_decode(b"".join(tfb), total).astype(np.float64)
                 denom = tfs + k1 * (1.0 - b + b * dl[bl_ids] / adl)
                 contrib = idf * tfs / denom
@@ -420,6 +497,15 @@ def score_shard(
             eval_idx.append(sub)
             eval_sc.append(sigc[take] + cl_w * _closeness_cached(sub))
             pos += len(take)
+            # geometric chunk growth bounds the loop at O(log n)
+            # iterations: the per-iteration tau refresh re-sorts the WHOLE
+            # evaluated set, so fixed-size chunks make a slowly-converging
+            # tau quadratic-ish.  A larger chunk can only evaluate MORE
+            # candidates before stopping; extra candidates carry exact
+            # scores below the final tau, so the downstream top-k (and its
+            # tie-breaks -- ties at tau are evaluated under any chunking)
+            # is invariant.
+            chunk *= 2
             if pos < n:
                 kept, ks = topk_dedup(
                     state, np.concatenate(eval_idx), np.concatenate(eval_sc), k
@@ -440,11 +526,14 @@ def score_shard(
 def topk_dedup(state: ShardState, cand: np.ndarray, scores: np.ndarray,
                k: int) -> Tuple[np.ndarray, np.ndarray]:
     """Best (score desc, id asc) per dedup key (parent_id else id), top k;
-    returns (positions, scores) ordered by (score desc, id asc)."""
-    order = np.lexsort((state.ids_sort[cand], -scores))
+    returns (positions, scores) ordered by (score desc, id asc).
+
+    Sorts on the precomputed integer ids_rank / key_codes (strict monotone
+    stand-ins for the id strings / key strings) -- int sorts, not string
+    sorts, in the per-query path."""
+    order = np.lexsort((state.ids_rank[cand], -scores))
     c, s = cand[order], scores[order]
-    keys = state.dedup_keys[c]
-    _, first = np.unique(keys, return_index=True)  # smallest index per key
+    _, first = np.unique(state.key_codes[c], return_index=True)
     keep = np.sort(first)[:k]
     return c[keep], s[keep]
 

@@ -274,11 +274,14 @@ class ResidentSearcher:
             (r.field, r.term): (float(r.idf), int(r.df)) for r in td.itertuples()
         }
 
-        # attributes -> one precomputed numpy ShardState per shard: the
-        # pandas->numpy conversion happens ONCE here instead of on every
-        # query (profiling showed ~90% of warm-query time was pandas frame
-        # overhead inside the per-shard kernel)
-        from .search import post_groups, shard_state
+        # attributes -> ONE fused numpy state covering every local shard
+        # (per-shard dense local-id spaces laid out back-to-back, ascending
+        # shard order) + zero-copy per-shard views.  The pandas->numpy
+        # conversion happens ONCE here instead of on every query, and warm
+        # queries score ALL shards in one numpy pass over the fused state
+        # instead of a python loop of ~15 small-array calls per term per
+        # shard (the dominant resident-latency term once pandas was gone).
+        from .search import fused_state, post_groups, state_view
 
         # shard-subset (content-node) pruning: hive shard= tables prune at
         # the directory level, the tbucket-partitioned postings table
@@ -306,9 +309,17 @@ class ResidentSearcher:
                     filter=shard_filter)],
                 ignore_index=True,
             )
-        self.state_by_shard = {
-            int(s): shard_state(g) for s, g in attrs.groupby("shard")
-        }
+        if len(attrs):
+            self.fused, self.shard_offsets = fused_state(attrs)
+            off_items = sorted(self.shard_offsets.items())
+            bounds = [o for _, o in off_items] + [self.fused.n_docs]
+            self.state_by_shard = {
+                s: state_view(self.fused, bounds[i], bounds[i + 1])
+                for i, (s, _) in enumerate(off_items)
+            }
+        else:  # gateway instance (shards=[]): no content resident
+            self.fused, self.shard_offsets = None, {}
+            self.state_by_shard = {}
 
         # postings -> dict[(field, term, shard)] -> block array group
         # (field, term, firsts, lasts, maxs, ns, doc_bytes, tf_bytes)
@@ -321,6 +332,34 @@ class ResidentSearcher:
         for s, g in post.groupby("shard", sort=False):
             for grp in post_groups(g):
                 self.post_by_key[(grp[0], grp[1], int(s))] = grp
+
+        # fused posting groups: block ranges globalized with the shard
+        # offsets + per-block base offsets for the decode (search.
+        # score_shard `boffs`), so one score_shard call covers all local
+        # shards.  Payload byte objects are shared with post_by_key.
+        by_ft: Dict[Tuple[str, str], list] = {}
+        for (f, t, s), grp in self.post_by_key.items():
+            if s in self.shard_offsets:
+                by_ft.setdefault((f, t), []).append((s, grp))
+        self.post_fused: Dict[Tuple[str, str], tuple] = {}
+        for (f, t), lst in by_ft.items():
+            lst.sort(key=lambda e: e[0])
+            firsts, lasts, maxs, ns, docb, tfb, boffs = [], [], [], [], [], [], []
+            for s, grp in lst:
+                off = self.shard_offsets[s]
+                firsts.append(grp[2] + off)
+                lasts.append(grp[3] + off)
+                maxs.append(grp[4])
+                ns.append(grp[5])
+                docb.append(grp[6])
+                tfb.append(grp[7])
+                boffs.append(np.full(len(grp[2]), off, dtype=np.int64))
+            self.post_fused[(f, t)] = (
+                f, t, np.concatenate(firsts), np.concatenate(lasts),
+                np.concatenate(maxs), np.concatenate(ns),
+                np.concatenate(docb), np.concatenate(tfb),
+                np.concatenate(boffs),
+            )
 
         # doc store for enrichment: kept LAZY -- content is the widest
         # column in the system, and a resident dict of every content string
@@ -408,15 +447,17 @@ class ResidentSearcher:
 
             probes = semantic_probes(self.cfg, qvec)
 
-        # per-shard numpy core (same score_shard/topk_dedup the Spark
-        # kernel wraps), zero pandas in the loop
+        # fused numpy core (same score_shard/topk_dedup the Spark kernel
+        # wraps per shard): ONE pass over the fused all-local-shards state
         from .search import score_shard, topk_dedup
 
         full_only = search_type == "bm25"
-        sel_ids, sel_sort, sel_keys = [], [], []
-        sel_parents, sel_dts, sel_pdts, sel_scores = [], [], [], []
-        for shard, state in self.state_by_shard.items():
-            if search_type == "semantic" and semantic_mode == "graph":
+        if search_type == "semantic" and semantic_mode == "graph":
+            # graph mode stays per-shard: HNSW graphs are built/persisted
+            # per content shard (the Vespa content-node analog)
+            sel_ids, sel_sort, sel_keys = [], [], []
+            sel_parents, sel_dts, sel_pdts, sel_scores = [], [], [], []
+            for shard, state in self.state_by_shard.items():
                 cand, scores = self._graph_search(shard, state, q64, k)
                 if not len(cand):
                     continue
@@ -428,38 +469,39 @@ class ResidentSearcher:
                 sel_dts.append(state.doc_types[keep])
                 sel_pdts.append(state.parent_doc_types[keep])
                 sel_scores.append(s)
-                continue
-            if search_type == "semantic":
-                groups = []
-            else:
-                groups = [
-                    self.post_by_key[key]
-                    for (f, t) in term_payload
-                    if (key := (f, t, shard)) in self.post_by_key
-                ]
-                if not groups:
-                    continue
-            cand, scores = score_shard(
-                state, groups, term_payload, avgdl, self.cfg.k1, self.cfg.b,
-                k, search_type, q64, full_only, probe_buckets=probes,
-                decode_cache=self._postings_cache, cache_shard=shard,
+            if not sel_ids:
+                return None
+            return tuple(
+                np.concatenate(x)
+                for x in (sel_ids, sel_sort, sel_keys, sel_parents,
+                          sel_dts, sel_pdts, sel_scores)
             )
-            if not len(cand):
-                continue
-            keep, s = topk_dedup(state, cand, scores, k)
-            sel_ids.append(state.ids[keep])
-            sel_sort.append(state.ids_sort[keep])
-            sel_keys.append(state.dedup_keys[keep])
-            sel_parents.append(state.parents[keep])
-            sel_dts.append(state.doc_types[keep])
-            sel_pdts.append(state.parent_doc_types[keep])
-            sel_scores.append(s)
-        if not sel_ids:
+
+        state = self.fused
+        if state is None:
             return None
-        return tuple(
-            np.concatenate(x)
-            for x in (sel_ids, sel_sort, sel_keys, sel_parents,
-                      sel_dts, sel_pdts, sel_scores)
+        if search_type == "semantic":
+            groups = []
+        else:
+            groups = [
+                self.post_fused[key]
+                for (f, t) in term_payload
+                if (key := (f, t)) in self.post_fused
+            ]
+            if not groups:
+                return None
+        cand, scores = score_shard(
+            state, groups, term_payload, avgdl, self.cfg.k1, self.cfg.b,
+            k, search_type, q64, full_only, probe_buckets=probes,
+            decode_cache=self._postings_cache, cache_shard=None,
+        )
+        if not len(cand):
+            return None
+        keep, s = topk_dedup(state, cand, scores, k)
+        return (
+            state.ids[keep], state.ids_sort[keep], state.dedup_keys[keep],
+            state.parents[keep], state.doc_types[keep],
+            state.parent_doc_types[keep], s,
         )
 
     @staticmethod
