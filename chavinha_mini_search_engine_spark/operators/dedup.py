@@ -152,6 +152,15 @@ def minhash_signatures(
       SQL oracle (__spark_entry__.oracle_sql).
     """
     shingled = _shingled(df, id_col, text_col, n)
+    return _signatures_from_shingled(shingled, num_perm, hash_family)
+
+
+def _signatures_from_shingled(
+    shingled: DataFrame, num_perm: int = 64, hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Signatures from a precomputed (id, sh) table -- split out so
+    minhash_lsh_dedup can materialize the shingles ONCE and reuse them
+    for both the signature pass and the exact-Jaccard verify joins."""
     if hash_family == "md5":
         ex = shingled.select("id", F.explode("sh").alias("s"))
         aggs = [
@@ -188,6 +197,21 @@ def minhash_lsh_candidates(
     (rows = num_perm/bands).  Returns distinct (a, b) with a < b."""
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, n, hash_family)
+    return _candidates_from_sig(sig, num_perm, bands, hash_family)
+
+
+def _candidates_from_sig(
+    sig: DataFrame, num_perm: int = 64, bands: int = 16,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    rows = num_perm // bands
+    # the self-join below evaluates its input subtree on BOTH sides:
+    # without the lineage cut the whole shingle+signature pipeline ran
+    # twice per query (guide §3.3: materialize an intermediate to
+    # truncate the plan).  The signature table is narrow (id + num_perm
+    # values) and is recomputed fresh on every invocation -- nothing
+    # persists across runs.
+    sig = sig.localCheckpoint()
     if hash_family == "md5":
         band_hash = lambda bi: F.md5(  # noqa: E731
             F.concat(*[F.element_at("sig", bi * rows + r + 1) for r in range(rows)])
@@ -228,9 +252,15 @@ def minhash_lsh_dedup(
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (computed only for
-    candidate pairs -- the web-scale pattern: candidates << all pairs)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n, hash_family)
-    sh = _shingled(df, id_col, text_col, n)
+    candidate pairs -- the web-scale pattern: candidates << all pairs).
+
+    The shingle table is materialized ONCE (localCheckpoint, fresh per
+    invocation) and feeds the signature pass AND both sides of the verify
+    join -- previously the shingle expression re-ran 3x (once per
+    consumer subtree)."""
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint()
+    sig = _signatures_from_shingled(sh, num_perm, hash_family)
+    cand = _candidates_from_sig(sig, num_perm, bands, hash_family)
     j = (
         cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
@@ -306,7 +336,12 @@ def simhash_neardup_pairs(
             "max_hamming > 3 breaks the 4x16-bit banding completeness "
             "guarantee (pigeonhole needs bands > max_hamming)"
         )
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    # lineage cut before the self-join: both join sides re-execute their
+    # input subtree, which ran the simhash UDF twice per query (guide
+    # §3.3).  16 B/row, recomputed fresh per invocation.
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    ).localCheckpoint()
     bands = sig.select(
         "id", "sig",
         F.explode(
