@@ -746,6 +746,53 @@ def corpus_stats(tf: DataFrame, lens: Optional[DataFrame] = None,
     )
 
 
+def write_corpus_stats_local(doclens_dir: str, out_dir: str,
+                             cfg: IndexConfig) -> None:
+    """Driver-side corpus_stats: per-field (n_docs, avgdl) computed with
+    pyarrow from the materialized doclens table and written as one
+    parquet file in the Spark-compatible schema.
+
+    Values are identical to the Spark aggregate it replaces: dl is
+    integral and per-field totals sit far below 2^53, so the double sum
+    is exact under any accumulation order, and float(sum)/count is the
+    same IEEE division Spark's Average performs.  The doclens read is one
+    narrow columnar pass (int columns only); what this removes from the
+    critical path is a whole Spark job + write for a 4-row table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    ds = pads.dataset(doclens_dir, format="parquet")
+    tbl = ds.to_table(columns=list(cfg.fields))
+    fields, n_docs, avgdl = [], [], []
+    for f in cfg.fields:
+        col = tbl.column(f)
+        n = len(col) - col.null_count
+        if n == 0:
+            continue
+        s = pc.sum(col).as_py()
+        fields.append(f)
+        n_docs.append(n)
+        avgdl.append(float(s) / n)
+    out = pa.table(
+        {"field": fields, "n_docs": n_docs, "avgdl": avgdl},
+        schema=pa.schema([
+            pa.field("field", pa.string()), pa.field("n_docs", pa.int64()),
+            pa.field("avgdl", pa.float64()),
+        ]),
+    )
+    import uuid as _uuid
+    tmp = out_dir + f".__tmp_{_uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(out, os.path.join(tmp, "part-00000.parquet"))
+    if os.path.exists(out_dir):
+        import shutil as _shutil
+        _shutil.rmtree(out_dir)
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    os.replace(tmp, out_dir)
+
+
 def term_dict(tf: DataFrame, stats: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(field, term, df, idf, tbucket).  idf = ln(1 + (N-n+0.5)/(n+0.5)).
 
@@ -1482,9 +1529,13 @@ def _index_stages_from_unified(
         t2 = time.time()
         store.write(doclens(tf, cfg), "doclens")
         sub["doclens_sec"] = round(time.time() - t2, 1)
-        lens = store.read(spark, "doclens")
         t2 = time.time()
-        store.write(corpus_stats(tf, lens=lens, cfg=cfg), "corpus_stats")
+        # driver-side pyarrow aggregation over the just-written doclens
+        # table: same values as the Spark agg (see write_corpus_stats_
+        # local), no Spark job for a 4-row output
+        write_corpus_stats_local(
+            store.path("doclens"), store.path("corpus_stats"), cfg
+        )
         sub["corpus_stats_sec"] = round(time.time() - t2, 1)
         t2 = time.time()
         if drop_term:
@@ -1499,10 +1550,9 @@ def _index_stages_from_unified(
         store.write(td.repartition(cfg.term_buckets, "tbucket"),
                     "term_dict", partition_by=["tbucket"])
         sub["term_dict_sec"] = round(time.time() - t2, 1)
-        if _use_tid_keys():
-            t2 = time.time()
-            verify_tid_unique(store.read(spark, "term_dict"))
-            sub["tid_verify_sec"] = round(time.time() - t2, 1)
+        # tid-collision verification moved off the serial critical path:
+        # it runs as a concurrent task of the postings pool below (always,
+        # not only on a fresh stats stage -- strictly more checking)
         store.finish_stage("stats", {"wall_sec": time.time() - t, **sub})
 
     tf = store.read(spark, "tf")
@@ -1592,6 +1642,19 @@ def _index_stages_from_unified(
     tasks = [(lambda g=g: _one_group(g)) for g in pending]
     if not store.stage_done("attributes"):
         tasks.append(_attributes_task)
+    if _use_tid_keys():
+        # 64-bit tid collision guard (verify_tid_unique docstring): a
+        # vocab-sized job that used to sit serially at the end of the
+        # stats stage; as a pool task it hides under the postings groups.
+        # Unconditional (even on a no-op resume) so that "this invocation
+        # returned" always implies "the served dictionary was verified" --
+        # a raise here propagates before finish_stage("postings").
+        def _verify_task():
+            _tag_jobs(spark, "postings")
+            spark.sparkContext.setJobDescription("verify tid uniqueness")
+            verify_tid_unique(td)
+
+        tasks.append(_verify_task)
     if len(tasks) > 1 and n_jobs > 1:
         from concurrent.futures import ThreadPoolExecutor
 
