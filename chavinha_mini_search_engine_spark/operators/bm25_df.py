@@ -54,6 +54,13 @@ def bm25_topk_df(
     term because the join is inner on term.
     """
     terms = sorted(set(tokenize_py(query)))
+    # NOTE (r6): a localCheckpoint lineage cut on dt (the minhash/simhash
+    # fix) was A/B-tested here and REVERTED: dt's three consumer subtrees
+    # are independent stages of ONE job and run concurrently across the
+    # cluster, so deduplicating them behind an eager materialization
+    # SERIALIZES the DAG -- measured 0.75 -> 0.92 s at sf0.1 (warm-min).
+    # The cut only pays when the duplicated subtree is expensive relative
+    # to the parallelism it forfeits (shingling) or feeds a self-join.
     dt = doc_terms(df, id_col, text_col)
     stats = dt.select("id", "dl").distinct().agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -359,8 +359,9 @@ def build_graph_table(attrs, cfg):
 
 def graph_topk(emb, query: Sequence[float], k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               n_partitions: int = 4, m: int = DEFAULT_M,
-               ef_search: int = 200, seed: int = 42):
+               n_partitions: Optional[int] = None, m: int = DEFAULT_M,
+               ef_search: int = 200, seed: int = 42,
+               slice_target: int = 128):
     """Distributed graph-ANN top-k over an embeddings DataFrame.
 
     The scale shape: hash-partition the table, build one HNSW graph per
@@ -371,6 +372,16 @@ def graph_topk(emb, query: Sequence[float], k: int = 10,
     globally.  With ``ef_search`` >= the partition's true top-k frontier
     this equals the exact brute-force top-k; recall is asserted in
     tests (and the gate runs at a scale where it is exact).
+
+    ``n_partitions`` defaults to ceil(n / slice_target): the sequential
+    python insert loop is the whole cost of this operator, so the slice
+    size — not a fixed partition count — is what must stay bounded as the
+    table grows.  A fixed count meant 4 ever-growing graphs on 4 cores
+    (guide §2: derive partitioning from input size, not a constant tuned
+    for one scale); hash-partitioning on ``vec_id`` into a size-derived
+    count keeps the result independent of cluster size, and with
+    slice_target < ef_search every slice stays within the beam, so the
+    per-slice search remains exhaustive-grade at gate scale.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -379,6 +390,8 @@ def graph_topk(emb, query: Sequence[float], k: int = 10,
     qn = np.linalg.norm(q)
     q = q / qn if qn else q
 
+    if n_partitions is None:
+        n_partitions = max(1, -(-emb.count() // slice_target))
     part = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).repartition(n_partitions, F.col("vec_id"))
