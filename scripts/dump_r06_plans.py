@@ -21,6 +21,8 @@ QUERIES = [
     "ann_cosine_topk",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
+    "simhash_neardup",
+    "ann_graph_topk",
     "quality_features",
     "language_id",
     "bm25_topk",
