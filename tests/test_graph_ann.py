@@ -113,6 +113,33 @@ class TestSparkGraph:
         assert [(r.vec_id, r.cosine) for r in got] == \
             [(r.vec_id, r.cosine) for r in want]
 
+    def test_graph_topk_size_derived_partitioning(self, spark):
+        """r6: the default partition count derives from the table size
+        (ceil(n / slice_target)), so the per-slice python build stays
+        bounded as the table grows, and the result is invariant to the
+        partitioning (each slice stays within the ef_search beam)."""
+        from chavinha_mini_search_engine_spark.operators.graph_ann import graph_topk
+        from chavinha_mini_search_engine_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        n = emb.count()
+        q = emb.filter("vec_id = 0").select("embedding").first()[0]
+        # the derived default appears in the plan as the repartition count
+        df = graph_topk(emb, q, k=10)
+        expect = max(1, -(-n // 128))
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert f"hashpartitioning(vec_id#" in plan
+        assert f", {expect}), REPARTITION_BY_NUM" in plan
+        # partitioning-invariance: an explicit different count gives the
+        # same (exact) answer at this scale
+        want = [(r.vec_id, r.cosine) for r in cosine_topk(emb, q, k=10).collect()]
+        for nparts in (1, 7):
+            got = [(r.vec_id, r.cosine)
+                   for r in graph_topk(emb, q, k=10, n_partitions=nparts).collect()]
+            assert got == want, f"n_partitions={nparts}"
+
     def test_build_stage_and_graph_serve_mode(self, spark, tmp_path):
         """cfg.graph_ann=True persists a graph table; resident
         semantic_mode='graph' answers from it with high agreement vs the
